@@ -1,0 +1,140 @@
+"""Frame-level encoding pipeline: the engine's host orchestration.
+
+Behavioural spec: the frame loop of main.cpp:578-1010 — per frame:
+POC/numRefs/lambda selection, reference-buffer update, then for each refIdx
+the four stages FULL_2CP -> FULL_3CP (consuming the 2CP CPMVs) ->
+HALF_2CP -> HALF_3CP, with results handed to the decision-log writer.
+
+TPU-native differences: frames are device-resident jnp arrays handed out by
+POC label (no device-to-device slot copies); stage dispatch is async (XLA
+queues all four stages per ref without host round-trips); readback happens
+once per (frame, ref) when results are consumed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vvc_affine_tpu import constants as C
+from vvc_affine_tpu.models import affine_me
+from vvc_affine_tpu.runtime.refmanager import ReferenceBuffer
+
+PRED_FULL_2CP, PRED_FULL_3CP, PRED_HALF_2CP, PRED_HALF_3CP = range(4)
+
+
+@dataclass
+class PipelineConfig:
+    frame_w: int
+    frame_h: int
+    qp: int
+    extra_iters: int = 0
+    test_full: bool = True
+    test_half: bool = True
+    device: Optional[jax.Device] = None
+    shardings: Optional[dict] = None   # see parallel.mesh.stage_shardings
+
+
+@dataclass
+class StageResult:
+    poc: int
+    ref_idx: int
+    pred: int
+    costs: jnp.ndarray   # int64 [nCtu, nCU]
+    cpmvs: jnp.ndarray   # int32 [nCtu, nCU, 3, 2]
+
+
+class AffineMEPipeline:
+    """Runs Affine ME over a GOP of frames."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.stages = {}
+        for mode, on in (("full", cfg.test_full), ("half", cfg.test_half)):
+            if not on:
+                continue
+            for n_cp in (2, 3):
+                spec = affine_me.StageSpec(
+                    mode, n_cp, cfg.frame_w, cfg.frame_h, cfg.extra_iters
+                )
+                self.stages[(mode, n_cp)] = affine_me.build_stage(spec)
+        self._zeros = {
+            mode: affine_me.zero_cpmvs(
+                affine_me.StageSpec(mode, 2, cfg.frame_w, cfg.frame_h)
+            )
+            for mode in ("full", "half")
+        }
+
+    def _put(self, frame: np.ndarray) -> jnp.ndarray:
+        flat = jnp.asarray(np.ascontiguousarray(frame, np.int32).ravel())
+        if self.cfg.device is not None:
+            flat = jax.device_put(flat, self.cfg.device)
+        return flat
+
+    def encode(
+        self,
+        orig_frames: np.ndarray,   # [N, H, W] (POC 1..N)
+        ref_frames: np.ndarray,    # [N, H, W] (reconstructed POC 0..N-1)
+        on_result: Optional[Callable[[StageResult], None]] = None,
+        timing=None,
+    ) -> List[StageResult]:
+        cfg = self.cfg
+        n_frames = orig_frames.shape[0]
+        refbuf = ReferenceBuffer()
+        frames_by_poc: Dict[int, jnp.ndarray] = {}
+        results: List[StageResult] = []
+
+        # stage the first original frame (prefetching happens per iteration)
+        orig_dev = self._put(orig_frames[0])
+        next_orig = None
+
+        for curr in range(n_frames):
+            poc = curr + 1
+            num_refs = min(C.MAX_REFS, poc)
+            lam = jnp.float32(C.lambda_for(cfg.qp, poc))
+
+            # reference list update: recon frame (poc-1) enters slot 0
+            frames_by_poc[poc - 1] = self._put(ref_frames[curr])
+            refbuf.push(poc)
+            ref_labels = refbuf.ref_list(poc)
+            # drop frames no longer referenced (keeps device memory flat)
+            live = set(ref_labels)
+            frames_by_poc = {k: v for k, v in frames_by_poc.items() if k in live}
+
+            # async prefetch of the next original frame (double buffering,
+            # cf. main.cpp:711-715)
+            if curr + 1 < n_frames:
+                next_orig = self._put(orig_frames[curr + 1])
+
+            for ref_idx in range(num_refs):
+                ref_dev = frames_by_poc[ref_labels[ref_idx]]
+                per_ref: List[StageResult] = []
+                for mode, base in (("full", PRED_FULL_2CP), ("half", PRED_HALF_2CP)):
+                    if (mode, 2) not in self.stages:
+                        continue
+                    import time as _time
+
+                    t0 = _time.time()
+                    cost2, cp2 = self.stages[(mode, 2)](
+                        ref_dev, orig_dev, lam, self._zeros[mode]
+                    )
+                    cost3, cp3 = self.stages[(mode, 3)](ref_dev, orig_dev, lam, cp2)
+                    if timing is not None:
+                        cost3.block_until_ready()
+                        t1 = _time.time()
+                        timing.add(base, (t1 - t0) / 2)
+                        timing.add(base + 1, (t1 - t0) / 2)
+                    per_ref.append(StageResult(poc, ref_idx, base, cost2, cp2))
+                    per_ref.append(StageResult(poc, ref_idx, base + 1, cost3, cp3))
+                for r in per_ref:
+                    results.append(r)
+                    if on_result is not None:
+                        on_result(r)
+
+            if next_orig is not None:
+                orig_dev, next_orig = next_orig, None
+        return results

@@ -1,0 +1,130 @@
+"""Decision-log CSV writer and timing report.
+
+Behavioural spec: reportAffineResultsMaster_new
+(main_aux_functions.h:387-525) — one CSV per (pred type, CU size string),
+header ``POC,List,Ref,CTU,idx,X,Y,Cost,LT_X,LT_Y,RT_X,RT_Y,LB_X,LB_Y``, rows
+appended per (poc, refIdx) in class order; half-aligned size groups sharing a
+size string share a file.  removeOldTraces (main_aux_functions.h:1547-1585)
+deletes stale logs before a run.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from vvc_affine_tpu import geometry as G
+
+PRED_NAMES = ("FULL_2CPs", "FULL_3CPs", "HALF_2CPs", "HALF_3CPs")
+PRED_MODES = ("full", "full", "half", "half")
+
+_HEADER = "POC,List,Ref,CTU,idx,X,Y,Cost,LT_X,LT_Y,RT_X,RT_Y,LB_X,LB_Y\n"
+
+
+def log_paths(prefix: str, pred: int):
+    """All decision-log paths of one pred type (dedup preserves order)."""
+    lay = G.layout(PRED_MODES[pred])
+    seen = []
+    for c in lay.classes:
+        p = f"{prefix}_{PRED_NAMES[pred]}_{c.size_str}.csv"
+        if p not in seen:
+            seen.append(p)
+    return seen
+
+
+def remove_old_traces(prefix: str) -> None:
+    for pred in range(4):
+        for p in log_paths(prefix, pred):
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+
+
+def write_headers(prefix: str, pred: int) -> None:
+    for p in log_paths(prefix, pred):
+        with open(p, "w") as f:
+            f.write(_HEADER)
+
+
+def report_results(
+    prefix: Optional[str],
+    pred: int,
+    frame_w: int,
+    costs: np.ndarray,      # int64 [nCtu, nCU] canonical order
+    cpmvs: np.ndarray,      # int32 [nCtu, nCU, 3, 2]
+    poc: int,
+    ref: int,
+    to_terminal: bool = False,
+) -> None:
+    """Append one (poc, refIdx, pred) result block to the decision logs."""
+    if prefix is None and not to_terminal:
+        return
+    lay = G.layout(PRED_MODES[pred])
+    n_ctus = costs.shape[0]
+    ctu_cols = -(-frame_w // 128)
+
+    if prefix is not None and poc == 1 and ref == 0:
+        write_headers(prefix, pred)
+
+    handles: Dict[str, object] = {}
+    try:
+        for ci, cls in enumerate(lay.classes):
+            stride = lay.return_strides[ci]
+            path = f"{prefix}_{PRED_NAMES[pred]}_{cls.size_str}.csv" if prefix else None
+            if path is not None and path not in handles:
+                handles[path] = open(path, "a")
+            fh = handles.get(path)
+            lines = []
+            for ctu in range(n_ctus):
+                ctu_off_x = (ctu % ctu_cols) * 128
+                ctu_off_y = (ctu // ctu_cols) * 128
+                for cu in range(cls.num_cus):
+                    i = stride + cu
+                    x = cls.xs[cu] + ctu_off_x
+                    y = cls.ys[cu] + ctu_off_y
+                    c = cpmvs[ctu, i]
+                    lines.append(
+                        f"{poc},0,{ref},{ctu},{cu},{x},{y},{costs[ctu, i]},"
+                        f"{c[0,0]},{c[0,1]},{c[1,0]},{c[1,1]},{c[2,0]},{c[2,1]}\n"
+                    )
+            block = "".join(lines)
+            if fh is not None:
+                fh.write(block)
+            if to_terminal:
+                print(block, end="")
+    finally:
+        for fh in handles.values():
+            fh.close()
+
+
+class Timing:
+    """Per-pred execution-time accumulator (ns) + wall-clock stamps.
+
+    Mirrors kernelExecutionTime[4] / reportTimingResults
+    (main_aux_functions.h:1416-1446) and print_timestamp (:59-68).
+    """
+
+    def __init__(self) -> None:
+        self.exec_ns = [0.0, 0.0, 0.0, 0.0]
+        self.t0 = time.time()
+
+    def stamp(self, msg: str) -> None:
+        t = time.time()
+        print(f"{msg},{int(t)}.{int((t % 1) * 1e6):06d},")
+
+    def add(self, pred: int, seconds: float) -> None:
+        self.exec_ns[pred] += seconds * 1e9
+
+    def report(self, n_frames: int) -> None:
+        print("=-" * 23)
+        print("TIMING RESULTS (nanoseconds)")
+        for pred, name in enumerate(("FULL_2CP", "FULL_3CP", "HALF_2CP", "HALF_3CP")):
+            print(f"{name}_EXEC,{self.exec_ns[pred]:f}")
+        total = sum(self.exec_ns)
+        print(f"TOTAL_EXEC_TIME({n_frames}x),{total:f}")
+        print(f"OVERALL({n_frames}x),{(time.time() - self.t0) * 1e9:f}")
+        print("=-" * 23)
