@@ -89,10 +89,20 @@ class StageTables(NamedTuple):
     within: np.ndarray             # bool  [nCtu, nCU]
 
 
-def build_tables(spec: StageSpec) -> StageTables:
+def build_tables(spec: StageSpec, n_ctu_pad: int = 0) -> StageTables:
+    """Static tables; optionally pad the CTU axis to ``n_ctu_pad`` entries.
+
+    Padding CTUs sit at (frame_w, frame_h), so every padded CU fails the
+    in-frame test and takes the deterministic zero-SATD/zero-system path —
+    the sharding layer uses this to make nCtu divisible by the mesh.
+    """
     lay = G.layout(spec.mode)
     grid = G.frame_grid(spec.frame_w, spec.frame_h)
     ctu_x, ctu_y = grid.ctu_origin()
+    if n_ctu_pad > grid.num_ctus:
+        extra = n_ctu_pad - grid.num_ctus
+        ctu_x = np.concatenate([ctu_x, np.full(extra, spec.frame_w, np.int32)])
+        ctu_y = np.concatenate([ctu_y, np.full(extra, spec.frame_h, np.int32)])
 
     groups: List[GroupTables] = []
     merged_order: List[int] = []
@@ -130,7 +140,7 @@ def build_tables(spec: StageSpec) -> StageTables:
         abs_y + cu_h[None, :] <= spec.frame_h
     )
     return StageTables(
-        n_ctus=grid.num_ctus,
+        n_ctus=max(grid.num_ctus, n_ctu_pad),
         n_cus=lay.cus_per_ctu,
         groups=tuple(groups),
         merged_order=merged_order_arr,
