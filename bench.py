@@ -1,0 +1,109 @@
+"""Benchmark: 1080p Affine ME throughput on one chip.
+
+Runs the reference's headline workload — all four pred types (FULL/HALF x
+2CP/3CP) over every CU of every CTU of a 1920x1080 frame against one
+reference frame (main.cpp:746-1010) — and reports CU evaluations per second.
+
+Prints ONE JSON line:
+  {"metric": "cus_per_sec_per_chip", "value": N, "unit": "CU/s",
+   "vs_baseline": R}
+vs_baseline is relative to the first recorded local run
+(.bench_baseline.json), since the reference repo publishes no numbers
+(README.md:1-38); extra context fields are included for the record.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+
+FW, FH = 1920, 1080
+N_WARMUP = 1
+N_ITERS = 5
+
+
+def synth_frames():
+    rng = np.random.default_rng(2024)
+    yy, xx = np.mgrid[0:FH, 0:FW]
+    base = 512 + 300 * np.sin(xx / 37.0) * np.cos(yy / 29.0)
+    ref = np.clip(base + rng.integers(-64, 64, size=(FH, FW)), 0, 1023)
+    orig = np.roll(ref, (3, -2), axis=(0, 1))
+    orig = np.clip(orig + rng.integers(-24, 24, size=(FH, FW)), 0, 1023)
+    return ref.astype(np.int32), orig.astype(np.int32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vvc_affine_tpu import geometry as G
+    from vvc_affine_tpu.models import affine_me
+
+    ref_np, orig_np = synth_frames()
+    ref = jnp.asarray(ref_np.ravel())
+    orig = jnp.asarray(orig_np.ravel())
+    lam = jnp.float32(78.949063)  # QP32, POC1
+
+    stages = {}
+    for mode in ("full", "half"):
+        for n_cp in (2, 3):
+            spec = affine_me.StageSpec(mode, n_cp, FW, FH)
+            stages[(mode, n_cp)] = (affine_me.build_stage(spec), spec)
+    zeros = {
+        mode: affine_me.zero_cpmvs(affine_me.StageSpec(mode, 2, FW, FH))
+        for mode in ("full", "half")
+    }
+
+    def one_pass():
+        outs = []
+        for mode in ("full", "half"):
+            c2, p2 = stages[(mode, 2)][0](ref, orig, lam, zeros[mode])
+            c3, p3 = stages[(mode, 3)][0](ref, orig, lam, p2)
+            outs.append((c2, c3))
+        for c2, c3 in outs:
+            c2.block_until_ready()
+            c3.block_until_ready()
+
+    t_compile = time.time()
+    for _ in range(N_WARMUP):
+        one_pass()
+    compile_s = time.time() - t_compile
+
+    t0 = time.time()
+    for _ in range(N_ITERS):
+        one_pass()
+    dt = (time.time() - t0) / N_ITERS
+
+    n_ctus = G.frame_grid(FW, FH).num_ctus
+    cus = n_ctus * (
+        G.layout("full").cus_per_ctu + G.layout("half").cus_per_ctu
+    ) * 2  # 2CP + 3CP variants
+    cus_per_sec = cus / dt
+
+    vs = 1.0
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            base = json.load(f)
+        if base.get("cus_per_sec"):
+            vs = cus_per_sec / base["cus_per_sec"]
+    else:
+        with open(BASELINE_PATH, "w") as f:
+            json.dump({"cus_per_sec": cus_per_sec, "sec_per_frame_ref": dt}, f)
+
+    print(json.dumps({
+        "metric": "cus_per_sec_per_chip",
+        "value": round(cus_per_sec, 1),
+        "unit": "CU/s",
+        "vs_baseline": round(vs, 3),
+        "sec_per_frame_ref_1080p": round(dt, 4),
+        "frame_refs_per_sec": round(1.0 / dt, 3),
+        "compile_plus_first_run_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

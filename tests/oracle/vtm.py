@@ -382,6 +382,63 @@ def scale_delta_mvs(params, n_cp, w, h):
     return out  # [LT.x, RT.x(pre-map: see engine), ...] — raw s0..s5 order
 
 
+# --- PROF (aux_functions.cl:218-605) -----------------------------------------
+
+def prof_deltas(cpmvs, w, h, n_cp):
+    """(dMvH, dMvV) int lists of 16, per getHorizontal/VerticalDeltasPROF*."""
+    hx, hy, vx, vy = affine_deltas(cpmvs, w, h, n_cp)
+
+    def field(h_step, v_step):
+        quad_h = h_step << 2
+        quad_v = v_step << 2
+        d = [0] * 16
+        d[0] = ((h_step + v_step) << 1) - ((quad_h + quad_v) << 1)
+        for wv in range(1, 4):
+            d[wv] = d[wv - 1] + quad_h
+        for hv in range(1, 4):
+            for wv in range(4):
+                d[hv * 4 + wv] = d[(hv - 1) * 4 + wv] + quad_v
+        out = []
+        for v in d:
+            r = round_mv(v, 8)
+            out.append(min(max(r, -31), 31))
+        return out
+
+    return field(hx, vx), field(hy, vy)
+
+
+def prof_apply(pred14, win, x_frac, y_frac, d_hor, d_ver):
+    """PROF() (aux:472-605): pred14 = 4x4 at internal precision."""
+    x_off = x_frac >> 3
+    y_off = y_frac >> 3
+    anchor = 3 * 11 + 3
+    winf = [int(v) for v in np.ravel(win)]
+    padded = [0] * 36
+    curr = anchor + y_off * 11 + x_off
+    for i in range(4):
+        padded[(i + 1) * 6 + 0] = (winf[curr + i * 11 - 1] << 4) - C.IF_INTERNAL_OFFS
+        padded[(i + 1) * 6 + 5] = (winf[curr + i * 11 + 4] << 4) - C.IF_INTERNAL_OFFS
+    curr = anchor - (1 - y_off) * 11 + x_off - 1
+    for i in range(6):
+        padded[i] = (winf[curr + i] << 4) - C.IF_INTERNAL_OFFS
+        padded[30 + i] = (winf[curr + 5 * 11 + i] << 4) - C.IF_INTERNAL_OFFS
+    for i in range(4):
+        for j in range(4):
+            padded[(i + 1) * 6 + (j + 1)] = int(pred14[i * 4 + j])
+    out = []
+    for i in range(16):
+        r, c = divmod(i, 4)
+        pr, pc = r + 1, c + 1
+        gx = (padded[pr * 6 + pc + 1] >> 6) - (padded[pr * 6 + pc - 1] >> 6)
+        gy = (padded[(pr + 1) * 6 + pc] >> 6) - (padded[(pr - 1) * 6 + pc] >> 6)
+        di = gx * d_hor[i] + gy * d_ver[i]
+        di = min(max(di, -(1 << 13)), (1 << 13) - 1)
+        v = int(pred14[i]) + di
+        v = (v + (1 << 3) + C.IF_INTERNAL_OFFS) >> 4
+        out.append(min(max(v, 0), 1023))
+    return out
+
+
 def derive_lb_from_2cp(lt, rt, w, h, cu_abs_x, cu_abs_y, fw, fh):
     """3CP predictor LB derivation (affine.cl:83-105)."""
     shift = C.MAX_CU_DEPTH

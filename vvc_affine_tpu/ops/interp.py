@@ -40,11 +40,15 @@ def gather_windows(ref_flat, frame_w: int, frame_h: int, bx, by, mv_int_x, mv_in
     return jnp.take(ref_flat, idx, mode="clip")
 
 
-def filter_windows(windows, x_frac, y_frac):
-    """Separable 8-tap over 11x11 windows -> clipped 4x4 predictions.
+def filter_windows(windows, x_frac, y_frac, last: bool = True):
+    """Separable 8-tap over 11x11 windows -> 4x4 predictions.
 
     windows: int32 [..., 11, 11]; x_frac/y_frac: int32 [...] in [0, 15].
-    Returns int32 [..., 16] (row-major 4x4), clipped to [0, 1023].
+    Returns int32 [..., 16] (row-major 4x4).  With ``last`` (the shipping
+    path) the result is scaled back to sample range and clipped to
+    [0, 1023]; with ``last=False`` it stays at the 14-bit internal
+    precision (the vertical-pass isLast=false branch, aux:1185-1195, used
+    when PROF follows).
     """
     bank = jnp.asarray(C.LUMA_FILTER_4x4)  # [16, 8]
     hcoef = jnp.take(bank, x_frac, axis=0)  # [..., 8]
@@ -60,17 +64,19 @@ def filter_windows(windows, x_frac, y_frac):
             [tmp, col[..., None]], axis=-1
         )
     # tmp: [..., 11, 4]
+    shift2, off2 = (_SHIFT2, _OFF2) if last else (C.IF_FILTER_PREC, 0)
     out = None
     for r in range(4):
         acc = tmp[..., r, :] * vcoef[..., None, 0]
         for t in range(1, 8):
             acc = acc + tmp[..., r + t, :] * vcoef[..., None, t]
-        row = (acc + _OFF2) >> _SHIFT2  # [..., 4]
+        row = (acc + off2) >> shift2  # [..., 4]
         out = row[..., None, :] if out is None else jnp.concatenate(
             [out, row[..., None, :]], axis=-2
         )
     # out: [..., 4, 4]
-    out = clamp(out, C.CLP_RNG_MIN, C.CLP_RNG_MAX)
+    if last:
+        out = clamp(out, C.CLP_RNG_MIN, C.CLP_RNG_MAX)
     return out.reshape(out.shape[:-2] + (16,))
 
 
