@@ -29,6 +29,13 @@ def solve_affine(M, rhs, n_cp: int):
     q+1) and column P the rhs.
     """
     P = 2 * n_cp
+    # Flatten batch dims: multi-dim batches trigger a libtpu kernel fault in
+    # the emulated-f64 path at some shapes (e.g. [135, 284, 4, 4] crashes the
+    # TPU worker; the flat [38340, 4, 4] form is fine).  Bit-identical either
+    # way, so always solve on the flattened batch.
+    batch_shape = M.shape[:-2]
+    M = M.reshape((-1,) + M.shape[-2:])
+    rhs = rhs.reshape((-1,) + rhs.shape[-1:])
     B = jnp.concatenate(
         [M.astype(jnp.float64), rhs.astype(jnp.float64)[..., None]], axis=-1
     )  # [..., P, P+1]
@@ -44,11 +51,18 @@ def solve_affine(M, rhs, n_cp: int):
         # candidates: argmax of a reversed strict scan == first index of max
         # with > comparisons == jnp.argmax semantics (first occurrence).
         amax = jnp.argmax(cand, axis=-1)  # [...]
-        # swap rows r0 <-> amax
-        idx = jnp.broadcast_to(row_ids, B.shape[:-2] + (P,))
-        amax_b = amax[..., None]
-        idx = jnp.where(idx == r0, amax_b, jnp.where(idx == amax_b, r0, idx))
-        B = jnp.take_along_axis(B, idx[..., None], axis=-2)
+        # swap rows r0 <-> amax, gather-free: take_along_axis on emulated
+        # f64 data faults libtpu (TPU worker crash) at some batch shapes,
+        # and arithmetic selects are faster anyway.
+        amax_oh = row_ids == amax[..., None]  # [..., P] one-hot
+        B_amax = jnp.sum(jnp.where(amax_oh[..., None], B, 0.0), axis=-2)
+        B_r0 = B[..., r0, :]
+        is_r0 = (row_ids == r0)[:, None]
+        B = jnp.where(
+            is_r0,
+            B_amax[..., None, :],
+            jnp.where(amax_oh[..., None], B_r0[..., None, :], B),
+        )
         # eliminate rows r > r0, columns k >= i
         pivot_row = B[..., r0, :]  # [..., P+1]
         pivot = B[..., r0, i - 1]  # [...]
@@ -69,7 +83,8 @@ def solve_affine(M, rhs, n_cp: int):
             temp = temp + B[..., i, j] * x[j]
         x[i] = (B[..., i, P] - temp) / B[..., i, i]
     params = jnp.stack(x, axis=-1)
-    return jnp.where(dead[..., None], 0.0, params)
+    params = jnp.where(dead[..., None], 0.0, params)
+    return params.reshape(batch_shape + (P,))
 
 
 def scale_delta_mvs(params, n_cp: int, cu_w, cu_h):
