@@ -40,7 +40,7 @@ def main():
     import jax.numpy as jnp
 
     from vvc_affine_tpu import geometry as G
-    from vvc_affine_tpu.models import affine_me
+    from vvc_affine_tpu.models import affine_plane as affine_me
 
     ref_np, orig_np = synth_frames()
     ref = jnp.asarray(ref_np.ravel())
@@ -50,10 +50,10 @@ def main():
     stages = {}
     for mode in ("full", "half"):
         for n_cp in (2, 3):
-            spec = affine_me.StageSpec(mode, n_cp, FW, FH)
+            spec = affine_me.PlaneSpec(mode, n_cp, FW, FH)
             stages[(mode, n_cp)] = (affine_me.build_stage(spec), spec)
     zeros = {
-        mode: affine_me.zero_cpmvs(affine_me.StageSpec(mode, 2, FW, FH))
+        mode: affine_me.zero_cpmvs(affine_me.PlaneSpec(mode, 2, FW, FH))
         for mode in ("full", "half")
     }
 

@@ -1,0 +1,44 @@
+"""The dense plane engine must be bit-identical to the merged-group engine.
+
+Both implement the affine_gradient_mult_sizes(_HA) behavioural spec; the
+merged-group engine (models.affine_me) is itself validated against the
+NumPy VTM oracle in test_engine_parity.py, so equality here transfers that
+guarantee to the plane engine (models.affine_plane).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vvc_affine_tpu.models import affine_me, affine_plane
+
+FW, FH = 416, 240
+
+
+def _frames(seed):
+    rng = np.random.default_rng(seed)
+    ref = jnp.asarray(rng.integers(0, 1024, size=(FH * FW,)).astype(np.int32))
+    orig = jnp.asarray(rng.integers(0, 1024, size=(FH * FW,)).astype(np.int32))
+    return ref, orig
+
+
+@pytest.mark.parametrize("mode", ["full", "half"])
+def test_plane_engine_matches_gather_engine(mode):
+    ref, orig = _frames(7)
+    lam = jnp.float32(57.54)
+    z = affine_me.zero_cpmvs(affine_me.StageSpec(mode, 2, FW, FH))
+    c_ref, p_ref = affine_me.build_stage(
+        affine_me.StageSpec(mode, 2, FW, FH))(ref, orig, lam, z)
+    c_new, p_new = affine_plane.build_stage(
+        affine_plane.PlaneSpec(mode, 2, FW, FH, use_pallas=False))(
+            ref, orig, lam, z)
+    assert np.array_equal(np.asarray(c_ref), np.asarray(c_new))
+    assert np.array_equal(np.asarray(p_ref), np.asarray(p_new))
+    # 3CP consumes the 2CP CPMVs (main.cpp:837)
+    c3r, p3r = affine_me.build_stage(
+        affine_me.StageSpec(mode, 3, FW, FH))(ref, orig, lam, p_ref)
+    c3n, p3n = affine_plane.build_stage(
+        affine_plane.PlaneSpec(mode, 3, FW, FH, use_pallas=False))(
+            ref, orig, lam, p_new)
+    assert np.array_equal(np.asarray(c3r), np.asarray(c3n))
+    assert np.array_equal(np.asarray(p3r), np.asarray(p3n))

@@ -1,0 +1,459 @@
+"""Dense (gather-free) Affine-ME engine operating on per-class CTU planes.
+
+Same stage contract as models.affine_me.build_stage — for every CU of every
+canonical size class, numGradientIter+1 rounds of prediction -> SATD -> RD
+cost -> best update interleaved with gradient refinement (the
+affine_gradient_mult_sizes(_HA) kernels, affine.cl:11-958/960-1950) — but
+restructured for TPU:
+
+* Every class is evaluated as a full 128x128 CTU plane.  Per-block motion
+  (integer displacement dy/dx) and per-block filter taps (hc/vc) are DATA
+  planes, so prediction, SATD, Sobel gradients, and the normal-equation
+  moments are all dense vector ops — no gathers in the hot path.
+* The prediction itself runs in the `ops.warp` Pallas kernel when every
+  block displacement fits |d| <= R (the overwhelmingly common case; CPMVs
+  start at zero, affine.cl:53-59, and refinement steps are small), and
+  falls back to the exact gather path via lax.cond otherwise — results are
+  bit-identical either way.
+* Per-CU quantities (SATD sums, equation systems, CPMV updates) move
+  between CU arrays (canonical class order — the reference's return-array
+  contract) and slot planes through static strided reshapes only
+  (vvc_affine_tpu.planes).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from vvc_affine_tpu import constants as C
+from vvc_affine_tpu import geometry as G
+from vvc_affine_tpu import planes as P
+from vvc_affine_tpu.ops import cost as cost_ops
+from vvc_affine_tpu.ops import mv as mv_ops
+from vvc_affine_tpu.ops import satd as satd_ops
+from vvc_affine_tpu.ops import solver as solver_ops
+from vvc_affine_tpu.ops import warp as warp_ops
+from vvc_affine_tpu.utils.bitmath import clamp
+
+NB = P.NB
+
+
+@dataclass(frozen=True)
+class PlaneSpec:
+    mode: str          # 'full' | 'half'
+    n_cp: int          # 2 | 3
+    frame_w: int
+    frame_h: int
+    extra_iters: int = 0
+    R: int = 8         # fast-path displacement bound (ops/warp)
+    escape_budget: int = 4096           # per-block exact fix-up slots
+    use_pallas: Optional[bool] = None   # None -> auto (TPU only)
+    interpret: bool = False             # pallas interpret mode (tests)
+
+    @property
+    def num_gradient_iters(self) -> int:
+        return (5 if self.n_cp == 2 else 4) + self.extra_iters
+
+
+class PlaneTables(NamedTuple):
+    n_ctu_y: int
+    n_ctu_x: int
+    n_ctus: int
+    n_cus: int
+    n_cls: int
+    strides: Tuple[int, ...]          # canonical per-class CU offsets
+    cls: Tuple[P.ClassPlane, ...]
+    # canonical per-CU tables [nCtu, nCU] / [nCU]
+    abs_x: np.ndarray
+    abs_y: np.ndarray
+    within: np.ndarray
+    cu_w: np.ndarray
+    cu_h: np.ndarray
+    ctu_x: np.ndarray                 # [nCtu]
+    ctu_y: np.ndarray
+
+
+def build_tables(spec: PlaneSpec) -> PlaneTables:
+    lay = G.layout(spec.mode)
+    grid = G.frame_grid(spec.frame_w, spec.frame_h)
+    ctu_x, ctu_y = grid.ctu_origin()
+    abs_x = ctu_x[:, None] + lay.cu_x[None, :]
+    abs_y = ctu_y[:, None] + lay.cu_y[None, :]
+    within = (abs_x + lay.cu_w[None, :] <= spec.frame_w) & (
+        abs_y + lay.cu_h[None, :] <= spec.frame_h)
+    return PlaneTables(
+        n_ctu_y=grid.ctu_rows, n_ctu_x=grid.ctu_cols, n_ctus=grid.num_ctus,
+        n_cus=lay.cus_per_ctu, n_cls=len(lay.classes),
+        strides=lay.return_strides, cls=P.plane_layout(spec.mode),
+        abs_x=abs_x.astype(np.int32), abs_y=abs_y.astype(np.int32),
+        within=within, cu_w=lay.cu_w.astype(np.int32),
+        cu_h=lay.cu_h.astype(np.int32),
+        ctu_x=ctu_x.astype(np.int32), ctu_y=ctu_y.astype(np.int32),
+    )
+
+
+def _class_slice(t: PlaneTables, ci: int):
+    s = t.strides[ci]
+    return slice(s, s + t.cls[ci].num_cus)
+
+
+def _mv_planes(spec: PlaneSpec, t: PlaneTables, cpmvs, within_j):
+    """Per-class displacement/phase planes from canonical CPMVs.
+
+    Returns dy, dx int32 [nCtu, nCls, NB, NB] and fx, fy likewise.
+    Out-of-frame CUs are forced to zero motion so they never trigger the
+    escape fallback (their results are masked out downstream, matching the
+    reference's skipped-pass semantics, affine.cl:192-208).
+    """
+    dys, dxs, fxs, fys = [], [], [], []
+    for ci, cp_tab in enumerate(t.cls):
+        sl = _class_slice(t, ci)
+        cp = cpmvs[:, sl]
+        log2w = int(np.log2(cp_tab.width))
+        log2h = int(np.log2(cp_tab.height))
+        hx, hy, vx, vy = mv_ops.affine_deltas(cp, log2w, log2h, spec.n_cp)
+        spread = mv_ops.is_spread_over_limit(hx, hy, vx, vy)
+        base_x = cp[..., 0, 0] << (C.MAX_CU_DEPTH - 4 + 4)
+        base_y = cp[..., 0, 1] << (C.MAX_CU_DEPTH - 4 + 4)
+        w_cu = within_j[:, sl]
+        zero = jnp.int32(0)
+        vals = [jnp.where(w_cu, v, zero)
+                for v in (hx, hy, vx, vy, base_x, base_y)]
+        hxp, hyp, vxp, vyp, bxp, byp = [
+            P.spread_cu_to_slots(jnp, v, cp_tab) for v in vals]
+        sprp = P.spread_cu_to_slots(
+            jnp, (spread & w_cu).astype(jnp.int32), cp_tab).astype(bool)
+        cxs = jnp.where(sprp, cp_tab.width // 2, jnp.asarray(cp_tab.slot_cx))
+        cys = jnp.where(sprp, cp_tab.height // 2, jnp.asarray(cp_tab.slot_cy))
+        mvx = bxp + hxp * cxs + vxp * cys
+        mvy = byp + hyp * cxs + vyp * cys
+        # clip bounds use the CU corner position (aux_functions.cl:90-101)
+        pux = P.spread_cu_to_slots(
+            jnp, jnp.where(w_cu, jnp.asarray(t.abs_x[:, sl]), zero), cp_tab)
+        puy = P.spread_cu_to_slots(
+            jnp, jnp.where(w_cu, jnp.asarray(t.abs_y[:, sl]), zero), cp_tab)
+        mvx, mvy = mv_ops.round_and_clip_mv(
+            mvx, mvy, pux, puy, spec.frame_w, spec.frame_h)
+        validp = jnp.asarray(cp_tab.slot_valid)
+        wslot = P.spread_cu_to_slots(
+            jnp, w_cu.astype(jnp.int32), cp_tab).astype(bool) & validp
+        mvx = jnp.where(wslot, mvx, 0)
+        mvy = jnp.where(wslot, mvy, 0)
+        dys.append(mvy >> 4)
+        dxs.append(mvx >> 4)
+        fys.append(mvy & 15)
+        fxs.append(mvx & 15)
+    stack = lambda xs: jnp.stack(xs, axis=1)
+    return stack(dys), stack(dxs), stack(fxs), stack(fys)
+
+
+def _tap_planes(f):
+    """Phase plane [nCtu, nCls, NB, NB] -> taps [nCtu, nCls, 8, NB, NB]."""
+    bank = np.asarray(C.LUMA_FILTER_4x4, np.int32)     # [16, 8]
+    out = jnp.zeros(f.shape[:2] + (8,) + f.shape[2:], jnp.int32)
+    for p in range(16):
+        sel = (f == p)[:, :, None]
+        out = jnp.where(sel, jnp.asarray(bank[p]).reshape(1, 1, 8, 1, 1), out)
+    return out
+
+
+def _sobel_replicated(plane, cp_tab: P.ClassPlane):
+    """Full-plane Sobel with per-CU border replication (affine.cl:472-540).
+
+    plane: int32 [..., 128, 128].  Returns (gx, gy) int32 [..., 128, 128];
+    values outside this class's CUs are unspecified.
+    """
+    pp = jnp.pad(plane, [(0, 0)] * (plane.ndim - 2) + [(1, 1), (1, 1)])
+    gx = (
+        pp[..., :-2, 2:] - pp[..., :-2, :-2]
+        + 2 * pp[..., 1:-1, 2:] - 2 * pp[..., 1:-1, :-2]
+        + pp[..., 2:, 2:] - pp[..., 2:, :-2]
+    )
+    gy = (
+        pp[..., 2:, :-2] - pp[..., :-2, :-2]
+        + 2 * pp[..., 2:, 1:-1] - 2 * pp[..., :-2, 1:-1]
+        + pp[..., 2:, 2:] - pp[..., :-2, 2:]
+    )
+
+    top = jnp.asarray(cp_tab.row_top).reshape(128, 1)
+    bot = jnp.asarray(cp_tab.row_bot).reshape(128, 1)
+    left = jnp.asarray(cp_tab.col_left)
+    right = jnp.asarray(cp_tab.col_right)
+
+    def repl(g):
+        down = jnp.concatenate([g[..., 1:, :], g[..., -1:, :]], axis=-2)
+        up = jnp.concatenate([g[..., :1, :], g[..., :-1, :]], axis=-2)
+        g = jnp.where(top, down, jnp.where(bot, up, g))
+        rightv = jnp.concatenate([g[..., :, 1:], g[..., :, -1:]], axis=-1)
+        leftv = jnp.concatenate([g[..., :, :1], g[..., :, :-1]], axis=-1)
+        return jnp.where(left, rightv, jnp.where(right, leftv, g))
+
+    return repl(gx), repl(gy)
+
+
+def _block_sums(x):
+    """[..., 128, 128] -> per-4x4-block sums [..., NB, NB]."""
+    s = x.reshape(x.shape[:-2] + (NB, 4, NB, 4))
+    return s.sum(axis=(-3, -1))
+
+
+def _blocks16(x):
+    """[..., 128, 128] -> [..., NB, NB, 16] row-major 4x4 blocks."""
+    s = x.reshape(x.shape[:-2] + (NB, 4, NB, 4))
+    s = jnp.moveaxis(s, -3, -2)
+    return s.reshape(x.shape[:-2] + (NB, NB, 16))
+
+
+def _factor_planes(cp_tab: P.ClassPlane, n_cp: int):
+    """Static per-slot equation factors (equations.py linear-form model)."""
+    cx = cp_tab.slot_cx.astype(np.int64)
+    cy = cp_tab.slot_cy.astype(np.int64)
+    one = np.ones_like(cx)
+    zero = np.zeros_like(cx)
+    if n_cp == 3:
+        a = [one, cx, zero, zero, cy, zero]
+        b = [zero, zero, one, cx, zero, cy]
+    else:
+        a = [one, cx, zero, cy]
+        b = [zero, cy, one, -cx]
+    return a, b
+
+
+def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
+              cpmvs, within_j, refine: bool):
+    """One prediction pass; returns (satd [nCtu,nCU] i64, M, rhs | None)."""
+    dy, dx, fx, fy = _mv_planes(spec, t, cpmvs, within_j)
+    hc = _tap_planes(fx)
+    vc = _tap_planes(fy)
+    ctu_y = jnp.asarray(t.ctu_y)
+    ctu_x = jnp.asarray(t.ctu_x)
+
+    use_pallas = spec.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    if use_pallas:
+        R = spec.R
+        n_cls = dy.shape[1]
+        esc = (jnp.abs(dy) > R) | (jnp.abs(dx) > R)
+        n_esc = esc.sum()
+        pred = warp_ops.warp_pallas(
+            refpad,
+            warp_ops.expand_lanes(dy), warp_ops.expand_lanes(dx),
+            warp_ops.expand_lanes(hc), warp_ops.expand_lanes(vc),
+            t.n_ctu_y, t.n_ctu_x, R=R, interpret=spec.interpret)
+        # Escaped blocks (|d| > R; the kernel's masked selects miss and
+        # leave garbage there) are recomputed exactly one-by-one and
+        # scattered back in.  Fix-up slots beyond the escape count point at
+        # block 0 whose recompute equals the fast-path value, so the
+        # scatter is harmless.  The reference pays its full 121-load cost
+        # for EVERY sub-block (affine.cl:288-326); here only outliers do.
+        E = spec.escape_budget
+        (flat_idx,) = jnp.nonzero(esc.ravel(), size=E, fill_value=0)
+        flat_idx = flat_idx.astype(jnp.int32)
+        bxi = flat_idx % NB
+        byi = (flat_idx // NB) % NB
+        ci = (flat_idx // (NB * NB)) % n_cls
+        ti = flat_idx // (NB * NB * n_cls)
+        g1 = ti * n_cls + ci
+        g2 = byi * NB + bxi
+        dy_f = dy.reshape(-1)[flat_idx]
+        dx_f = dx.reshape(-1)[flat_idx]
+        hc_f = hc.reshape(-1, 8, NB * NB)[g1, :, g2]      # [E, 8]
+        vc_f = vc.reshape(-1, 8, NB * NB)[g1, :, g2]
+        y_blk = ctu_y[ti] + 4 * byi
+        x_blk = ctu_x[ti] + 4 * bxi
+        blocks = warp_ops.predict_blocks_flat(
+            ref_flat, spec.frame_w, spec.frame_h,
+            y_blk, x_blk, dy_f, dx_f, hc_f, vc_f)        # [E, 4, 4]
+        rr = jnp.arange(4, dtype=jnp.int32)
+        rows = (4 * byi[:, None] + rr)[:, :, None]       # [E, 4, 1]
+        cols = (4 * bxi[:, None] + rr)[:, None, :]       # [E, 1, 4]
+        pred = pred.at[ti[:, None, None], ci[:, None, None],
+                       rows, cols].set(blocks)
+        # beyond-budget escape counts (pathological inputs): exact fallback
+        pred = lax.cond(
+            n_esc > E,
+            lambda op: warp_ops.warp_xla(
+                ref_flat, spec.frame_w, spec.frame_h, ctu_y, ctu_x,
+                op[0], op[1], op[2], op[3]),
+            lambda op: op[4],
+            (dy, dx, hc, vc, pred),
+        )
+    else:
+        pred = warp_ops.warp_xla(
+            ref_flat, spec.frame_w, spec.frame_h, ctu_y, ctu_x,
+            dy, dx, hc, vc)
+
+    # ---- SATD per block, reduced per CU --------------------------------
+    pred16 = _blocks16(pred)                       # [nCtu, nCls, NB, NB, 16]
+    sb_satd = satd_ops.satd_4x4(orig16[:, None], pred16)
+    satd_cols, M_cols, rhs_cols = [], [], []
+    for ci, cp_tab in enumerate(t.cls):
+        satd_cu = P.reduce_slots_to_cu(
+            jnp, jnp.where(jnp.asarray(cp_tab.slot_valid),
+                           sb_satd[:, ci].astype(jnp.int64), 0), cp_tab)
+        satd_cols.append(satd_cu)
+    satd = jnp.concatenate(satd_cols, axis=1)
+    satd = jnp.where(within_j, satd, 0)
+
+    if not refine:
+        return satd, None, None
+
+    # ---- gradients + normal-equation moments ---------------------------
+    orig_pl = orig16  # [nCtu, NB, NB, 16]
+    Pn = 2 * spec.n_cp
+    for ci, cp_tab in enumerate(t.cls):
+        plane = pred[:, ci]
+        gx, gy = _sobel_replicated(plane, cp_tab)
+        err16 = orig16 - _blocks16(plane)
+        # moments per block (int32-exact: |g|<=4*1023, 16 samples)
+        gx16 = _blocks16(gx)
+        gy16 = _blocks16(gy)
+        m20 = (gx16 * gx16).sum(-1)
+        m11 = (gx16 * gy16).sum(-1)
+        m02 = (gy16 * gy16).sum(-1)
+        me1 = (gx16 * err16).sum(-1)
+        me2 = (gy16 * err16).sum(-1)
+        a, b = _factor_planes(cp_tab, spec.n_cp)
+        m20_64 = m20.astype(jnp.int64)
+        m11_64 = m11.astype(jnp.int64)
+        m02_64 = m02.astype(jnp.int64)
+        me1_64 = me1.astype(jnp.int64)
+        me2_64 = me2.astype(jnp.int64)
+        rows = []
+        cache = {}
+        for p in range(Pn):
+            row = []
+            for q in range(Pn):
+                if (q, p) in cache:
+                    row.append(cache[(q, p)])
+                    continue
+                aa = jnp.asarray(a[p] * a[q])
+                ab = jnp.asarray(a[p] * b[q] + a[q] * b[p])
+                bb = jnp.asarray(b[p] * b[q])
+                term = P.reduce_slots_to_cu(
+                    jnp, m20_64 * aa + m11_64 * ab + m02_64 * bb, cp_tab)
+                cache[(p, q)] = term
+                row.append(term)
+            rows.append(jnp.stack(row, axis=-1))
+        M = jnp.stack(rows, axis=-2)
+        rhs = jnp.stack(
+            [P.reduce_slots_to_cu(
+                jnp, me1_64 * jnp.asarray(a[p]) + me2_64 * jnp.asarray(b[p]),
+                cp_tab) << 3
+             for p in range(Pn)], axis=-1)
+        M_cols.append(M)
+        rhs_cols.append(rhs)
+    M = jnp.concatenate(M_cols, axis=1)
+    rhs = jnp.concatenate(rhs_cols, axis=1)
+    M = jnp.where(within_j[..., None, None], M, 0)
+    rhs = jnp.where(within_j[..., None], rhs, 0)
+    return satd, M, rhs
+
+
+def _init_cpmvs(spec: PlaneSpec, t: PlaneTables, prev, abs_x, abs_y):
+    """2CP: zeros (affine.cl:53-59); 3CP: LT/RT from 2CP best + derived LB
+    (affine.cl:62-106).  Canonical class order throughout."""
+    if spec.n_cp == 2:
+        return jnp.zeros((t.n_ctus, t.n_cus, 3, 2), jnp.int32)
+    parts = []
+    for ci, cp_tab in enumerate(t.cls):
+        sl = _class_slice(t, ci)
+        cp = prev[:, sl]
+        lb = mv_ops.derive_lb_from_2cp(
+            cp, int(np.log2(cp_tab.width)), int(np.log2(cp_tab.height)),
+            abs_x[:, sl], abs_y[:, sl], spec.frame_w, spec.frame_h)
+        parts.append(jnp.concatenate([cp[..., 0:2, :], lb[..., None, :]],
+                                     axis=-2))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _refine_cpmvs(spec, t, cpmvs, M, rhs, cu_w, cu_h, abs_x, abs_y):
+    params = solver_ops.solve_affine(M, rhs, spec.n_cp)
+    deltas = solver_ops.scale_delta_mvs(params, spec.n_cp, cu_w, cu_h)
+    new = clamp(cpmvs + deltas, C.MV_MIN, C.MV_MAX)
+    nx, ny = mv_ops.clip_mv(
+        new[..., 0], new[..., 1], abs_x[..., None], abs_y[..., None],
+        spec.frame_w, spec.frame_h)
+    return jnp.stack([nx, ny], axis=-1)
+
+
+def _stage_run(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat, lam,
+               prev_cpmvs):
+    abs_x = jnp.asarray(t.abs_x)
+    abs_y = jnp.asarray(t.abs_y)
+    within_j = jnp.asarray(t.within)
+    cu_w = jnp.asarray(t.cu_w)
+    cu_h = jnp.asarray(t.cu_h)
+
+    refpad = warp_ops.build_refpad(
+        ref_flat, spec.frame_w, spec.frame_h, t.n_ctu_y, t.n_ctu_x)
+    # orig as per-CTU 4x4-block planes (zero padding; only within-CUs used)
+    oh = 128 * t.n_ctu_y
+    ow = 128 * t.n_ctu_x
+    orig2d = jnp.pad(
+        orig_flat.reshape(spec.frame_h, spec.frame_w),
+        ((0, oh - spec.frame_h), (0, ow - spec.frame_w)))
+    orig_pl = orig2d.reshape(t.n_ctu_y, 128, t.n_ctu_x, 128)
+    orig_pl = orig_pl.transpose(0, 2, 1, 3).reshape(t.n_ctus, 128, 128)
+    orig16 = _blocks16(orig_pl)
+
+    curr = _init_cpmvs(spec, t, prev_cpmvs, abs_x, abs_y)
+    best_cost = jnp.full((t.n_ctus, t.n_cus), C.MAX_LONG, jnp.int64)
+    best_cp = jnp.zeros_like(curr)
+
+    def cost_of(cpmvs, satd):
+        bits = cost_ops.affine_bits_zero_pred(cpmvs, spec.n_cp)
+        return cost_ops.rd_cost(satd, bits, lam)
+
+    def update_best(curr, cost, best_cost, best_cp):
+        better = cost < best_cost
+        return (jnp.where(better, cost, best_cost),
+                jnp.where(better[..., None, None], curr, best_cp))
+
+    def body(carry, _):
+        curr, best_cost, best_cp = carry
+        satd, M, rhs = _evaluate(
+            spec, t, ref_flat, refpad, orig16, curr, within_j, True)
+        cost = cost_of(curr, satd)
+        best_cost, best_cp = update_best(curr, cost, best_cost, best_cp)
+        curr = _refine_cpmvs(spec, t, curr, M, rhs, cu_w, cu_h, abs_x, abs_y)
+        return (curr, best_cost, best_cp), None
+
+    (curr, best_cost, best_cp), _ = lax.scan(
+        body, (curr, best_cost, best_cp), None,
+        length=spec.num_gradient_iters)
+    satd, _, _ = _evaluate(
+        spec, t, ref_flat, refpad, orig16, curr, within_j, False)
+    cost = cost_of(curr, satd)
+    best_cost, best_cp = update_best(curr, cost, best_cost, best_cp)
+    return best_cost, best_cp
+
+
+@functools.lru_cache(maxsize=None)
+def build_stage(spec: PlaneSpec):
+    """Compile a dense-engine stage; same contract as affine_me.build_stage:
+    fn(ref_flat_i32, orig_flat_i32, lam_f32, prev_cpmvs) ->
+    (best_cost int64 [nCtu, nCU], best_cpmvs int32 [nCtu, nCU, 3, 2]),
+    canonical class order."""
+    tables = build_tables(spec)
+
+    @jax.jit
+    def run(ref_flat, orig_flat, lam, prev_cpmvs):
+        return _stage_run(spec, tables, ref_flat, orig_flat, lam, prev_cpmvs)
+
+    return run
+
+
+def zero_cpmvs(spec: PlaneSpec) -> jnp.ndarray:
+    lay = G.layout(spec.mode)
+    n = G.frame_grid(spec.frame_w, spec.frame_h).num_ctus
+    return jnp.zeros((n, lay.cus_per_ctu, 3, 2), jnp.int32)

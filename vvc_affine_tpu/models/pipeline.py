@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vvc_affine_tpu import constants as C
-from vvc_affine_tpu.models import affine_me
+from vvc_affine_tpu.models import affine_me, affine_plane
 from vvc_affine_tpu.runtime.refmanager import ReferenceBuffer
 
 PRED_FULL_2CP, PRED_FULL_3CP, PRED_HALF_2CP, PRED_HALF_3CP = range(4)
@@ -37,6 +37,10 @@ class PipelineConfig:
     test_half: bool = True
     device: Optional[jax.Device] = None
     shardings: Optional[dict] = None   # see parallel.mesh.stage_shardings
+    # 'plane' = dense gather-free engine (models.affine_plane, the fast
+    # path); 'gather' = the original merged-group engine (models.affine_me).
+    # Outputs are bit-identical.
+    engine: str = "plane"
 
 
 @dataclass
@@ -58,10 +62,16 @@ class AffineMEPipeline:
             if not on:
                 continue
             for n_cp in (2, 3):
-                spec = affine_me.StageSpec(
-                    mode, n_cp, cfg.frame_w, cfg.frame_h, cfg.extra_iters
-                )
-                self.stages[(mode, n_cp)] = affine_me.build_stage(spec)
+                if cfg.engine == "plane":
+                    pspec = affine_plane.PlaneSpec(
+                        mode, n_cp, cfg.frame_w, cfg.frame_h, cfg.extra_iters
+                    )
+                    self.stages[(mode, n_cp)] = affine_plane.build_stage(pspec)
+                else:
+                    spec = affine_me.StageSpec(
+                        mode, n_cp, cfg.frame_w, cfg.frame_h, cfg.extra_iters
+                    )
+                    self.stages[(mode, n_cp)] = affine_me.build_stage(spec)
         self._zeros = {
             mode: affine_me.zero_cpmvs(
                 affine_me.StageSpec(mode, 2, cfg.frame_w, cfg.frame_h)

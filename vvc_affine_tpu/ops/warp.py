@@ -1,0 +1,280 @@
+"""Dense motion-compensated prediction of whole CTU planes.
+
+This is the TPU-native replacement for the reference's per-sub-block window
+fetch + 8-tap interpolation (affine.cl:254-393, aux_functions.cl:1096-1223).
+Instead of 121 random loads per 4x4 sub-block, prediction runs as dense
+vector work over per-class 128x128 CTU planes:
+
+* per-sample integer displacements (dy, dx) and per-sample filter-tap planes
+  (hc, vc — the 1/16-pel phase resolved to coefficients, so phases are data
+  rather than control flow), constant within each 4x4 block;
+* `warp_xla`: exact reference path — clamped window gather + separable
+  filter — valid for ANY displacement; the escape fallback and CPU oracle;
+* `warp_pallas`: the fast path — a Mosaic kernel that keeps the padded
+  reference plane in VMEM and resolves displacements with masked selects:
+  the horizontal filter and dx-select fuse into one coefficient field
+  (HMASK[s, x] = hc[s - dx(x) + 3][x], so sum_s slab[., x+s]*HMASK[s, x]
+  IS the horizontally-filtered sample at x's own displaced window), and the
+  vertical displacement resolves with 2R+1 masked row selects.  Exact for
+  |dy|,|dx| <= R; the caller cond-falls-back to warp_xla when any block
+  escapes.
+
+Bit-exactness: both paths reproduce VTM's first/last-pass offset/shift
+scheme exactly in int32 (aux_functions.cl:1121-1195); the padded plane's
+edge replication is provably identical to the reference's per-sample
+clamp-to-edge window correction (affine.cl:288-326).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vvc_affine_tpu import constants as C
+from vvc_affine_tpu.utils.bitmath import clamp
+
+NB = 32      # 4x4 block slots per CTU axis
+PAD = 64     # refpad top/left padding
+MAX_R = 16   # slab geometry supports |displacement| bound R up to this
+
+_SHIFT1 = C.IF_FILTER_PREC - 4                    # 2
+_OFF1 = -C.IF_INTERNAL_OFFS << _SHIFT1
+_SHIFT2 = C.IF_FILTER_PREC + 4                    # 10
+_OFF2 = (1 << (_SHIFT2 - 1)) + (C.IF_INTERNAL_OFFS << C.IF_FILTER_PREC)
+
+
+def refpad_shape(n_ctu_y: int, n_ctu_x: int) -> Tuple[int, int]:
+    return PAD + 128 * n_ctu_y + 32, PAD + 128 * n_ctu_x + 64
+
+
+def build_refpad(ref_flat, frame_w: int, frame_h: int,
+                 n_ctu_y: int, n_ctu_x: int):
+    """Edge-replicated padded reference plane, int16 [Hp, Wp].
+
+    refpad[y, x] == ref[clip(y-PAD), clip(x-PAD)], which makes every
+    in-bounds window read equal to the reference's clamp-to-edge sample
+    correction (affine.cl:288-326).
+    """
+    hp, wp = refpad_shape(n_ctu_y, n_ctu_x)
+    ref = ref_flat.reshape(frame_h, frame_w)
+    ref = jnp.pad(
+        ref,
+        ((PAD, hp - PAD - frame_h), (PAD, wp - PAD - frame_w)),
+        mode="edge",
+    )
+    return ref.astype(jnp.int16)
+
+
+def filter_blocks(win, hc, vc):
+    """Separable 8-tap over 11x11 windows with explicit per-block taps.
+
+    win: int32 [..., 11, 11]; hc/vc: int32 [..., 8].
+    Returns int32 [..., 4, 4] clipped to [0, 1023].
+    """
+    tmp = None
+    for c in range(4):
+        acc = win[..., :, c] * hc[..., None, 0]
+        for t in range(1, 8):
+            acc = acc + win[..., :, c + t] * hc[..., None, t]
+        col = (acc + _OFF1) >> _SHIFT1
+        tmp = col[..., None] if tmp is None else jnp.concatenate(
+            [tmp, col[..., None]], axis=-1)
+    out = None
+    for r in range(4):
+        acc = tmp[..., r, :] * vc[..., None, 0]
+        for t in range(1, 8):
+            acc = acc + tmp[..., r + t, :] * vc[..., None, t]
+        row = (acc + _OFF2) >> _SHIFT2
+        out = row[..., None, :] if out is None else jnp.concatenate(
+            [out, row[..., None, :]], axis=-2)
+    return clamp(out, C.CLP_RNG_MIN, C.CLP_RNG_MAX)
+
+
+def warp_xla(ref_flat, frame_w: int, frame_h: int, ctu_y, ctu_x,
+             dy, dx, hc, vc):
+    """Exact dense warp via clamped gather; any displacement.
+
+    ref_flat: int32 [fh*fw]; ctu_y/ctu_x: int32 [nCtu] CTU corners;
+    dy/dx: int32 [nCtu, nCls, NB, NB]; hc/vc: int32 [nCtu, nCls, 8, NB, NB].
+    Returns int32 [nCtu, nCls, 128, 128].
+    """
+    n_ctu, n_cls = dy.shape[:2]
+    taps = jnp.arange(11, dtype=jnp.int32)
+    planes = []
+    for ci in range(n_cls):
+        by = ctu_y[:, None, None] + 4 * jnp.arange(NB, dtype=jnp.int32)[:, None]
+        bx = ctu_x[:, None, None] + 4 * jnp.arange(NB, dtype=jnp.int32)[None, :]
+        y0 = by + dy[:, ci] - 3
+        x0 = bx + dx[:, ci] - 3
+        ys = clamp(y0[..., None] + taps, 0, frame_h - 1)
+        xs = clamp(x0[..., None] + taps, 0, frame_w - 1)
+        idx = ys[..., :, None] * frame_w + xs[..., None, :]
+        win = jnp.take(ref_flat, idx, mode="clip")      # [nCtu, NB, NB, 11, 11]
+        hcc = jnp.moveaxis(hc[:, ci], 1, -1)            # [nCtu, NB, NB, 8]
+        vcc = jnp.moveaxis(vc[:, ci], 1, -1)
+        pred = filter_blocks(win, hcc, vcc)             # [nCtu, NB, NB, 4, 4]
+        plane = pred.transpose(0, 1, 3, 2, 4).reshape(n_ctu, 128, 128)
+        planes.append(plane)
+    return jnp.stack(planes, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fast path
+# ---------------------------------------------------------------------------
+
+def _warp_kernel(R: int):
+    NS = 2 * R + 14          # HMASK support: s = dx + t - 3 in [-R-3, R+10]
+    S0 = -(R + 3)
+    NR = 2 * R + 11          # vertical candidate rows per sub-block row
+
+    def kernel(dy_ref, dx_ref, hc_ref, vc_ref, ref_ref, out_ref, rows8):
+        def slab_body(k):
+            # slab k covers refpad rows [128 ty + PAD - 24 + 8k, +56)
+            yk = pl.multiple_of(
+                128 * pl.program_id(0) + (PAD - 24) + 8 * k, 8)
+            xk = pl.multiple_of(128 * pl.program_id(1), 128)
+            slab = ref_ref[pl.ds(yk, 56), pl.ds(xk, 256)].astype(jnp.int32)
+
+            for j in range(2):
+                sy = 2 * k + j
+                dyl = dy_ref[0, 0, pl.ds(sy, 1), :]     # [1, 128]
+                dxl = dx_ref[0, 0, pl.ds(sy, 1), :]
+
+                # ---- HMASK: fused dx-select + horizontal taps ----
+                # NB: must be `- (R+3)`, not `+ S0`: an add with a negative
+                # i32 constant sends Mosaic's convert lowering into infinite
+                # recursion (jax 0.9.0)
+                srow = jax.lax.broadcasted_iota(
+                    jnp.int32, (NS, 128), 0) - (R + 3)
+                tsel = srow - dxl + 3
+                hmask = jnp.zeros((NS, 128), jnp.int32)
+                for t in range(8):
+                    hct = hc_ref[0, 0, t, pl.ds(sy, 1), :]
+                    hmask = jnp.where(tsel == t, hct, hmask)
+
+                # ---- Ht: horizontal filter at all candidate rows ----
+                # candidate rows rel slab: [4j + 21 - R, 4j + 31 + R)
+                RLO = 4 * j + 21 - R
+                ht = jnp.zeros((NR, 128), jnp.int32)
+                for si in range(NS):
+                    s = S0 + si
+                    seg = slab[RLO:RLO + NR, 64 + s:64 + s + 128]
+                    ht = ht + seg * hmask[si:si + 1, :]
+                ht = (ht + _OFF1) >> _SHIFT1
+
+                # ---- dy-select: W[wy, x] = Ht[R + dy(x) + wy, x] ----
+                w = jnp.zeros((11, 128), jnp.int32)
+                for a in range(-R, R + 1):
+                    w = jnp.where(dyl == a, ht[R + a:R + a + 11, :], w)
+
+                # ---- vertical filter ----
+                pred = jnp.zeros((4, 128), jnp.int32)
+                for t in range(8):
+                    vct = vc_ref[0, 0, t, pl.ds(sy, 1), :]
+                    pred = pred + w[t:t + 4, :] * vct
+                pred = (pred + _OFF2) >> _SHIFT2
+                # int32 bounds: with jax_enable_x64 on, python-int clip
+                # bounds become i64 scalars, and i64->i32 converts inside a
+                # Mosaic kernel infinitely recurse (jax 0.9.0)
+                pred = jnp.clip(pred, jnp.int32(C.CLP_RNG_MIN),
+                                jnp.int32(C.CLP_RNG_MAX))
+                rows8[4 * j:4 * j + 4, :] = pred.astype(jnp.int16)
+
+            out_ref[0, 0, 8 * k:8 * k + 8, :] = rows8[:, :]
+
+        # static unroll: fori_loop counters are int64 under jax_enable_x64,
+        # and int64 index arithmetic inside Mosaic kernels breaks lowering
+        # (infinite _convert_helper recursion, jax 0.9.0); the static form
+        # also gives Mosaic compile-time slab addresses.
+        for k in range(16):
+            slab_body(k)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _warp_pallas_fn(n_ctu_y: int, n_ctu_x: int, n_cls: int, R: int,
+                    interpret: bool):
+    if not 1 <= R <= MAX_R:
+        raise ValueError(f"R must be in [1, {MAX_R}]")
+    hp, wp = refpad_shape(n_ctu_y, n_ctu_x)
+    n_ctu = n_ctu_y * n_ctu_x
+    kernel = _warp_kernel(R)
+
+    def im_blk(ty, tx, c):
+        return (ty * n_ctu_x + tx, c, 0, 0)
+
+    def im_tap(ty, tx, c):
+        return (ty * n_ctu_x + tx, c, 0, 0, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_ctu_y, n_ctu_x, n_cls),
+        out_shape=jax.ShapeDtypeStruct((n_ctu, n_cls, 128, 128), jnp.int16),
+        in_specs=[
+            pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, NB, 128), im_tap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, NB, 128), im_tap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, wp), lambda ty, tx, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 128, 128), lambda ty, tx, c: (ty * n_ctu_x + tx, c, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def expand_lanes(plane):
+    """[..., NB] per-block values -> [..., 128] per-sample (repeat 4x)."""
+    return jnp.repeat(plane, 4, axis=-1)
+
+
+def warp_pallas(refpad, dy_l, dx_l, hc_l, vc_l, n_ctu_y: int, n_ctu_x: int,
+                R: int = 8, interpret: bool = False):
+    """Fast dense warp; exact iff all |dy|,|dx| <= R.
+
+    refpad: int16 [Hp, Wp] from build_refpad; dy_l/dx_l: int32
+    [nCtu, nCls, NB, 128] (lane-expanded, see expand_lanes); hc_l/vc_l:
+    int32 [nCtu, nCls, 8, NB, 128].  Returns int32 [nCtu, nCls, 128, 128].
+    """
+    n_cls = dy_l.shape[1]
+    fn = _warp_pallas_fn(n_ctu_y, n_ctu_x, n_cls, R, interpret)
+    # Trace the kernel with x64 semantics off: the package enables
+    # jax_enable_x64 globally (the VTM solver needs f64), which leaks i64
+    # loop counters / literals into the kernel, and i64 inside a Mosaic
+    # kernel breaks lowering (infinite _convert_helper recursion /
+    # func.return legalization failures, jax 0.9.0).  All kernel dtypes are
+    # explicit, so semantics are unchanged.
+    with jax.enable_x64(False):
+        out = fn(dy_l, dx_l, hc_l, vc_l, refpad)
+    return out.astype(jnp.int32)
+
+
+def predict_blocks_flat(ref_flat, frame_w: int, frame_h: int,
+                        y_blk, x_blk, dy, dx, hc, vc):
+    """Exact prediction of E individual 4x4 blocks (the escape fix-up).
+
+    y_blk/x_blk: int32 [E] absolute block corners; dy/dx: int32 [E]
+    displacements (any magnitude); hc/vc: int32 [E, 8] taps.
+    Returns int32 [E, 4, 4].
+    """
+    taps = jnp.arange(11, dtype=jnp.int32)
+    y0 = y_blk + dy - 3
+    x0 = x_blk + dx - 3
+    ys = clamp(y0[:, None] + taps, 0, frame_h - 1)
+    xs = clamp(x0[:, None] + taps, 0, frame_w - 1)
+    idx = ys[:, :, None] * frame_w + xs[:, None, :]
+    win = jnp.take(ref_flat, idx, mode="clip")          # [E, 11, 11]
+    return filter_blocks(win, hc, vc)
