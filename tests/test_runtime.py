@@ -147,3 +147,56 @@ def test_cli_end_to_end(tmp_path):
             with open(f"{prefix}_{pred}_{cls.size_str}.csv") as f:
                 lines = f.read().splitlines()
             assert len(lines) == 1 + 3 * cls.num_cus
+
+
+def test_checkpoint_resume_bitexact_logs(tmp_path):
+    """A run interrupted mid-frame resumes to byte-identical decision logs."""
+    from vvc_affine_tpu.runtime import reporting
+    from vvc_affine_tpu.runtime.checkpoint import CheckpointManager
+
+    rng = np.random.default_rng(9)
+    fw = fh = 128
+    orig = rng.integers(0, 1024, size=(3, fh, fw)).astype(np.uint16)
+    ref = rng.integers(0, 1024, size=(3, fh, fw)).astype(np.uint16)
+    cfg = PipelineConfig(frame_w=fw, frame_h=fh, qp=32, test_half=False)
+    pipe = AffineMEPipeline(cfg)
+
+    def writer(prefix):
+        def on_result(r):
+            reporting.report_results(
+                prefix, r.pred, fw, np.asarray(r.costs), np.asarray(r.cpmvs),
+                r.poc, r.ref_idx)
+        return on_result
+
+    # golden: uninterrupted run
+    gold = str(tmp_path / "gold")
+    pipe.encode(orig, ref, on_result=writer(gold))
+
+    # interrupted run: crash after the first (poc=2) block hits the logs
+    res = str(tmp_path / "res")
+    ck = CheckpointManager(str(tmp_path / "ck"), res)
+
+    class Boom(Exception):
+        pass
+
+    def crashing(r):
+        writer(res)(r)
+        if r.poc == 2:
+            raise Boom()
+
+    try:
+        pipe.encode(orig, ref, on_result=crashing, checkpoint=ck)
+    except Boom:
+        pass
+    assert ck.completed_poc() == 1
+
+    # resume: prunes the partial poc-2 rows and finishes the GOP
+    pipe.encode(orig, ref, on_result=writer(res), checkpoint=ck)
+    assert ck.completed_poc() == 3
+
+    import vvc_affine_tpu.geometry as G2
+    for cls in G2.layout("full").classes:
+        for pred in ("FULL_2CPs", "FULL_3CPs"):
+            a = open(f"{gold}_{pred}_{cls.size_str}.csv").read()
+            b = open(f"{res}_{pred}_{cls.size_str}.csv").read()
+            assert a == b

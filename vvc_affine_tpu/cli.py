@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--CpmvLogFile", type=str, default="",
                    help="Decision-log file prefix (empty: no logs)")
     p.add_argument("--ReportToTerminal", action="store_true")
+    p.add_argument("--CheckpointDir", type=str, default="",
+                   help="enable GOP-level checkpoint/resume in this directory")
     p.add_argument("--SkipFull", action="store_true",
                    help="Skip aligned-CU prediction")
     p.add_argument("--SkipHalf", action="store_true",
@@ -67,7 +69,12 @@ def main(argv=None) -> int:
     timing.stamp("FINISHED READ .csv")
 
     prefix = args.CpmvLogFile or None
-    if prefix:
+    ckpt = None
+    if args.CheckpointDir:
+        from vvc_affine_tpu.runtime.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.CheckpointDir, prefix)
+    if prefix and (ckpt is None or ckpt.completed_poc() == 0):
         reporting.remove_old_traces(prefix)
 
     cfg = PipelineConfig(
@@ -85,7 +92,7 @@ def main(argv=None) -> int:
                 r.poc, r.ref_idx, to_terminal=args.ReportToTerminal,
             )
 
-    pipe.encode(orig, ref, on_result=on_result, timing=timing)
+    pipe.encode(orig, ref, on_result=on_result, timing=timing, checkpoint=ckpt)
     timing.report(n)
     return 0
 

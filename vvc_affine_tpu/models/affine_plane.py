@@ -68,6 +68,14 @@ class PlaneTables(NamedTuple):
     n_ctus: int
     n_cus: int
     n_cls: int
+    n_bins: int
+    bins: Tuple[Tuple[int, ...], ...]  # disjoint-class packing (planes.bin_layout)
+    bin_of: np.ndarray                 # int32 [n_cls]
+    # merged per-bin Sobel border masks
+    bin_row_top: np.ndarray            # bool [n_bins, 128]
+    bin_row_bot: np.ndarray
+    bin_col_left: np.ndarray
+    bin_col_right: np.ndarray
     strides: Tuple[int, ...]          # canonical per-class CU offsets
     cls: Tuple[P.ClassPlane, ...]
     # canonical per-CU tables [nCtu, nCU] / [nCU]
@@ -88,10 +96,30 @@ def build_tables(spec: PlaneSpec) -> PlaneTables:
     abs_y = ctu_y[:, None] + lay.cu_y[None, :]
     within = (abs_x + lay.cu_w[None, :] <= spec.frame_w) & (
         abs_y + lay.cu_h[None, :] <= spec.frame_h)
+    cls = P.plane_layout(spec.mode)
+    bins, bin_of = P.bin_layout(spec.mode)
+    n_bins = len(bins)
+    # 2-D border masks: with mixed classes in one bin, another class's
+    # border row/col can pass through this class's CU interior in other
+    # columns/rows, so 1-D masks would misreplicate
+    brt = np.zeros((n_bins, 128, 128), bool)
+    brb = np.zeros((n_bins, 128, 128), bool)
+    bcl = np.zeros((n_bins, 128, 128), bool)
+    bcr = np.zeros((n_bins, 128, 128), bool)
+    for bi, ids in enumerate(bins):
+        for ci in ids:
+            c = lay.classes[ci]
+            for x0, y0 in zip(c.xs, c.ys):
+                brt[bi, y0, x0:x0 + c.width] = True
+                brb[bi, y0 + c.height - 1, x0:x0 + c.width] = True
+                bcl[bi, y0:y0 + c.height, x0] = True
+                bcr[bi, y0:y0 + c.height, x0 + c.width - 1] = True
     return PlaneTables(
         n_ctu_y=grid.ctu_rows, n_ctu_x=grid.ctu_cols, n_ctus=grid.num_ctus,
         n_cus=lay.cus_per_ctu, n_cls=len(lay.classes),
-        strides=lay.return_strides, cls=P.plane_layout(spec.mode),
+        n_bins=n_bins, bins=bins, bin_of=bin_of,
+        bin_row_top=brt, bin_row_bot=brb, bin_col_left=bcl, bin_col_right=bcr,
+        strides=lay.return_strides, cls=cls,
         abs_x=abs_x.astype(np.int32), abs_y=abs_y.astype(np.int32),
         within=within, cu_w=lay.cu_w.astype(np.int32),
         cu_h=lay.cu_h.astype(np.int32),
@@ -150,8 +178,17 @@ def _mv_planes(spec: PlaneSpec, t: PlaneTables, cpmvs, within_j):
         dxs.append(mvx >> 4)
         fys.append(mvy & 15)
         fxs.append(mvx & 15)
-    stack = lambda xs: jnp.stack(xs, axis=1)
-    return stack(dys), stack(dxs), stack(fxs), stack(fys)
+
+    def binned(xs):
+        # classes in a bin have disjoint slot coverage and zeros elsewhere,
+        # so the merge is a plain sum
+        acc = [None] * t.n_bins
+        for ci, v in enumerate(xs):
+            bi = int(t.bin_of[ci])
+            acc[bi] = v if acc[bi] is None else acc[bi] + v
+        return jnp.stack(acc, axis=1)
+
+    return binned(dys), binned(dxs), binned(fxs), binned(fys)
 
 
 def _tap_planes(f):
@@ -164,11 +201,11 @@ def _tap_planes(f):
     return out
 
 
-def _sobel_replicated(plane, cp_tab: P.ClassPlane):
+def _sobel_replicated(plane, row_top, row_bot, col_left, col_right):
     """Full-plane Sobel with per-CU border replication (affine.cl:472-540).
 
-    plane: int32 [..., 128, 128].  Returns (gx, gy) int32 [..., 128, 128];
-    values outside this class's CUs are unspecified.
+    plane: int32 [..., 128, 128]; masks: bool [128, 128].  Returns (gx, gy)
+    int32 [..., 128, 128]; values outside the masks' CUs are unspecified.
     """
     pp = jnp.pad(plane, [(0, 0)] * (plane.ndim - 2) + [(1, 1), (1, 1)])
     gx = (
@@ -182,10 +219,10 @@ def _sobel_replicated(plane, cp_tab: P.ClassPlane):
         + pp[..., 2:, 2:] - pp[..., :-2, 2:]
     )
 
-    top = jnp.asarray(cp_tab.row_top).reshape(128, 1)
-    bot = jnp.asarray(cp_tab.row_bot).reshape(128, 1)
-    left = jnp.asarray(cp_tab.col_left)
-    right = jnp.asarray(cp_tab.col_right)
+    top = jnp.asarray(row_top)
+    bot = jnp.asarray(row_bot)
+    left = jnp.asarray(col_left)
+    right = jnp.asarray(col_right)
 
     def repl(g):
         down = jnp.concatenate([g[..., 1:, :], g[..., -1:, :]], axis=-2)
@@ -241,7 +278,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
 
     if use_pallas:
         R = spec.R
-        n_cls = dy.shape[1]
+        n_bins = dy.shape[1]
         esc = (jnp.abs(dy) > R) | (jnp.abs(dx) > R)
         n_esc = esc.sum()
         pred = warp_ops.warp_pallas(
@@ -256,13 +293,24 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
         # scatter is harmless.  The reference pays its full 121-load cost
         # for EVERY sub-block (affine.cl:288-326); here only outliers do.
         E = spec.escape_budget
-        (flat_idx,) = jnp.nonzero(esc.ravel(), size=E, fill_value=0)
-        flat_idx = flat_idx.astype(jnp.int32)
+        GT = max(E // NB // NB, 16)
+        # two-level compaction: a flat nonzero over all block flags costs
+        # >100 ms (its cumsum also trips XLA's scoped-vmem limit); first
+        # compact escape-containing (ctu, class) groups (~1.6k flags), then
+        # blocks within those groups.
+        esc_g = esc.any(axis=(-2, -1)).ravel()           # [nCtu*nCls]
+        n_groups = esc_g.sum()
+        (gidx,) = jnp.nonzero(esc_g, size=GT, fill_value=0)
+        gidx = gidx.astype(jnp.int32)
+        g_flags = esc.reshape(-1, NB * NB)[gidx]         # [GT, NB*NB]
+        (fi,) = jnp.nonzero(g_flags.ravel(), size=E, fill_value=0)
+        fi = fi.astype(jnp.int32)
+        flat_idx = gidx[fi // (NB * NB)] * (NB * NB) + fi % (NB * NB)
         bxi = flat_idx % NB
         byi = (flat_idx // NB) % NB
-        ci = (flat_idx // (NB * NB)) % n_cls
-        ti = flat_idx // (NB * NB * n_cls)
-        g1 = ti * n_cls + ci
+        ci = (flat_idx // (NB * NB)) % n_bins
+        ti = flat_idx // (NB * NB * n_bins)
+        g1 = ti * n_bins + ci
         g2 = byi * NB + bxi
         dy_f = dy.reshape(-1)[flat_idx]
         dx_f = dx.reshape(-1)[flat_idx]
@@ -280,7 +328,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
                        rows, cols].set(blocks)
         # beyond-budget escape counts (pathological inputs): exact fallback
         pred = lax.cond(
-            n_esc > E,
+            (n_esc > E) | (n_groups > GT),
             lambda op: warp_ops.warp_xla(
                 ref_flat, spec.frame_w, spec.frame_h, ctu_y, ctu_x,
                 op[0], op[1], op[2], op[3]),
@@ -293,13 +341,14 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
             dy, dx, hc, vc)
 
     # ---- SATD per block, reduced per CU --------------------------------
-    pred16 = _blocks16(pred)                       # [nCtu, nCls, NB, NB, 16]
+    pred16 = _blocks16(pred)                       # [nCtu, nBin, NB, NB, 16]
     sb_satd = satd_ops.satd_4x4(orig16[:, None], pred16)
-    satd_cols, M_cols, rhs_cols = [], [], []
+    satd_cols = []
     for ci, cp_tab in enumerate(t.cls):
         satd_cu = P.reduce_slots_to_cu(
             jnp, jnp.where(jnp.asarray(cp_tab.slot_valid),
-                           sb_satd[:, ci].astype(jnp.int64), 0), cp_tab)
+                           sb_satd[:, int(t.bin_of[ci])].astype(jnp.int64),
+                           0), cp_tab)
         satd_cols.append(satd_cu)
     satd = jnp.concatenate(satd_cols, axis=1)
     satd = jnp.where(within_j, satd, 0)
@@ -307,27 +356,29 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
     if not refine:
         return satd, None, None
 
-    # ---- gradients + normal-equation moments ---------------------------
-    orig_pl = orig16  # [nCtu, NB, NB, 16]
+    # ---- gradients + normal-equation moments (once per bin) ------------
     Pn = 2 * spec.n_cp
-    for ci, cp_tab in enumerate(t.cls):
-        plane = pred[:, ci]
-        gx, gy = _sobel_replicated(plane, cp_tab)
+    moments = []
+    for bi in range(t.n_bins):
+        plane = pred[:, bi]
+        gx, gy = _sobel_replicated(
+            plane, t.bin_row_top[bi], t.bin_row_bot[bi],
+            t.bin_col_left[bi], t.bin_col_right[bi])
         err16 = orig16 - _blocks16(plane)
         # moments per block (int32-exact: |g|<=4*1023, 16 samples)
         gx16 = _blocks16(gx)
         gy16 = _blocks16(gy)
-        m20 = (gx16 * gx16).sum(-1)
-        m11 = (gx16 * gy16).sum(-1)
-        m02 = (gy16 * gy16).sum(-1)
-        me1 = (gx16 * err16).sum(-1)
-        me2 = (gy16 * err16).sum(-1)
+        moments.append((
+            (gx16 * gx16).sum(-1).astype(jnp.int64),
+            (gx16 * gy16).sum(-1).astype(jnp.int64),
+            (gy16 * gy16).sum(-1).astype(jnp.int64),
+            (gx16 * err16).sum(-1).astype(jnp.int64),
+            (gy16 * err16).sum(-1).astype(jnp.int64),
+        ))
+    M_cols, rhs_cols = [], []
+    for ci, cp_tab in enumerate(t.cls):
+        m20_64, m11_64, m02_64, me1_64, me2_64 = moments[int(t.bin_of[ci])]
         a, b = _factor_planes(cp_tab, spec.n_cp)
-        m20_64 = m20.astype(jnp.int64)
-        m11_64 = m11.astype(jnp.int64)
-        m02_64 = m02.astype(jnp.int64)
-        me1_64 = me1.astype(jnp.int64)
-        me2_64 = me2.astype(jnp.int64)
         rows = []
         cache = {}
         for p in range(Pn):

@@ -1,0 +1,63 @@
+"""ctypes loader for the native runtime library (vvc_native.cpp).
+
+Compiles the shared library on first use (g++ -O3) and caches it next to the
+source; callers fall back to pure-Python paths when no toolchain is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "vvc_native.cpp")
+_SO = os.path.join(_HERE, "libvvcnative.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The native library, building it if needed; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        fresh = os.path.exists(_SO) and (
+            os.path.getmtime(_SO) >= os.path.getmtime(_SRC))
+        if not fresh and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.vvc_parse_luma_csv.restype = ctypes.c_int64
+        lib.vvc_parse_luma_csv.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.vvc_append_decision_rows.restype = ctypes.c_int64
+        lib.vvc_append_decision_rows.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        return _lib

@@ -132,7 +132,7 @@ def warp_xla(ref_flat, frame_w: int, frame_h: int, ctu_y, ctu_x,
 def _warp_kernel(R: int):
     NS = 2 * R + 14          # HMASK support: s = dx + t - 3 in [-R-3, R+10]
     S0 = -(R + 3)
-    NR = 2 * R + 11          # vertical candidate rows per sub-block row
+    NR = 2 * R + 14          # candidate rows (padded for the radix-4 select)
 
     def kernel(dy_ref, dx_ref, hc_ref, vc_ref, ref_ref, out_ref, rows8):
         def slab_body(k):
@@ -170,9 +170,17 @@ def _warp_kernel(R: int):
                 ht = (ht + _OFF1) >> _SHIFT1
 
                 # ---- dy-select: W[wy, x] = Ht[R + dy(x) + wy, x] ----
+                # radix-4 split: coarse (ceil((2R+1)/4) selects of 14 rows)
+                # then fine (4 selects of 11 rows) instead of 2R+1 selects
+                dq = dyl + R
+                NCOARSE = (2 * R) // 4 + 1
+                htc = jnp.zeros((14, 128), jnp.int32)
+                for cq in range(NCOARSE):
+                    htc = jnp.where(dq // 4 == cq, ht[4 * cq:4 * cq + 14, :],
+                                    htc)
                 w = jnp.zeros((11, 128), jnp.int32)
-                for a in range(-R, R + 1):
-                    w = jnp.where(dyl == a, ht[R + a:R + a + 11, :], w)
+                for fq in range(4):
+                    w = jnp.where(dq % 4 == fq, htc[fq:fq + 11, :], w)
 
                 # ---- vertical filter ----
                 pred = jnp.zeros((4, 128), jnp.int32)

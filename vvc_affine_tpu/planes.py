@@ -204,3 +204,38 @@ def reduce_slots_to_cu(jnp, plane, cp: ClassPlane):
         for i, cid in enumerate(g.cu_ids):
             out[cid] = rows[i // g.nx][i % g.nx]
     return jnp.stack(out, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def bin_layout(mode: str):
+    """Pack classes with disjoint slot coverage into shared evaluation bins.
+
+    Half-aligned classes cover 25-50% of the CTU plane each (9x total
+    coverage over 24 classes); packing mutually-disjoint classes into one
+    plane cuts the dense-warp work from 24 to 16 plane-evaluations per CTU.
+    Aligned classes all have full coverage, so bins == classes there.
+
+    Returns (bins, bin_of): bins = tuple of tuples of class ids; bin_of =
+    int array [n_classes].
+    """
+    cls = plane_layout(mode)
+    order = sorted(range(len(cls)), key=lambda i: -int(cls[i].slot_valid.sum()))
+    bins: List[Tuple[np.ndarray, List[int]]] = []
+    for i in order:
+        cands = [
+            (int(b[0].sum()), bi)
+            for bi, b in enumerate(bins)
+            if not (b[0] & cls[i].slot_valid).any()
+        ]
+        if cands:
+            _, bi = max(cands)
+            bins[bi] = (bins[bi][0] | cls[i].slot_valid, bins[bi][1] + [i])
+        else:
+            bins.append((cls[i].slot_valid.copy(), [i]))
+    bin_of = np.zeros(len(cls), np.int32)
+    out = []
+    for bi, (_, ids) in enumerate(bins):
+        for ci in ids:
+            bin_of[ci] = bi
+        out.append(tuple(sorted(ids)))
+    return tuple(out), bin_of

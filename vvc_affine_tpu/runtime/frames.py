@@ -12,8 +12,29 @@ import numpy as np
 
 
 def read_frames_csv(path: str, frame_w: int, frame_h: int, n_frames: int) -> np.ndarray:
-    """Parse a concatenated-frames CSV -> uint16 [n_frames, frame_h, frame_w]."""
+    """Parse a concatenated-frames CSV -> uint16 [n_frames, frame_h, frame_w].
+
+    Uses the native mmap parser (native/vvc_native.cpp — the analogue of the
+    reference's C++ parse loop, main.cpp:310-330) when the toolchain is
+    available, else pandas/NumPy.
+    """
     rows_needed = frame_h * n_frames
+    from vvc_affine_tpu import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        import ctypes
+
+        out = np.empty((rows_needed, frame_w), np.uint16)
+        rc = lib.vvc_parse_luma_csv(
+            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            rows_needed, frame_w)
+        if rc == 0:
+            return out.reshape(n_frames, frame_h, frame_w)
+        if rc <= -2:
+            raise ValueError(
+                f"{path}: ran out of rows at {-(rc + 2)} (need {rows_needed})")
+        # rc == -1: IO error -> fall through to the Python parser
     try:
         import pandas as pd
 

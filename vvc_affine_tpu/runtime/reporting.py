@@ -70,27 +70,70 @@ def report_results(
     if prefix is not None and poc == 1 and ref == 0:
         write_headers(prefix, pred)
 
+    use_native = False
+    if prefix is not None and not to_terminal:
+        from vvc_affine_tpu import native
+
+        use_native = native.get_lib() is not None
+
     handles: Dict[str, object] = {}
     try:
         for ci, cls in enumerate(lay.classes):
             stride = lay.return_strides[ci]
             path = f"{prefix}_{PRED_NAMES[pred]}_{cls.size_str}.csv" if prefix else None
-            if path is not None and path not in handles:
-                handles[path] = open(path, "a")
-            fh = handles.get(path)
+            fh = None
+            if path is not None and not use_native:
+                if path not in handles:
+                    handles[path] = open(path, "a")
+                fh = handles[path]
+            # vectorised row block: meta (POC,List,Ref,CTU,idx,X,Y), cost,
+            # six CPMV components per row, CTU-major, CU raster within
+            nc = cls.num_cus
+            ctu_ids = np.arange(n_ctus, dtype=np.int32)
+            off_x = (ctu_ids % ctu_cols) * 128
+            off_y = (ctu_ids // ctu_cols) * 128
+            meta = np.empty((n_ctus, nc, 7), np.int32)
+            meta[..., 0] = poc
+            meta[..., 1] = 0
+            meta[..., 2] = ref
+            meta[..., 3] = ctu_ids[:, None]
+            meta[..., 4] = np.arange(nc, dtype=np.int32)[None, :]
+            meta[..., 5] = off_x[:, None] + np.asarray(cls.xs, np.int32)[None, :]
+            meta[..., 6] = off_y[:, None] + np.asarray(cls.ys, np.int32)[None, :]
+            cost_blk = np.ascontiguousarray(
+                costs[:, stride:stride + nc], np.int64)
+            cpmv_blk = np.ascontiguousarray(
+                cpmvs[:, stride:stride + nc].reshape(n_ctus, nc, 6), np.int32)
+
+            if use_native:
+                import ctypes
+
+                from vvc_affine_tpu import native
+
+                lib = native.get_lib()
+                meta_c = np.ascontiguousarray(meta.reshape(-1, 7))
+                rc = lib.vvc_append_decision_rows(
+                    path.encode(), 0, meta_c.shape[0],
+                    meta_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    cost_blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    cpmv_blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+                if rc == 0:
+                    continue
+                # native IO failure: fall back to Python for this block
+                if path not in handles:
+                    handles[path] = open(path, "a")
+                fh = handles[path]
             lines = []
             for ctu in range(n_ctus):
-                ctu_off_x = (ctu % ctu_cols) * 128
-                ctu_off_y = (ctu // ctu_cols) * 128
-                for cu in range(cls.num_cus):
-                    i = stride + cu
-                    x = cls.xs[cu] + ctu_off_x
-                    y = cls.ys[cu] + ctu_off_y
-                    c = cpmvs[ctu, i]
+                for cu in range(nc):
+                    m = meta[ctu, cu]
+                    v = cpmv_blk[ctu, cu]
                     lines.append(
-                        f"{poc},0,{ref},{ctu},{cu},{x},{y},{costs[ctu, i]},"
-                        f"{c[0,0]},{c[0,1]},{c[1,0]},{c[1,1]},{c[2,0]},{c[2,1]}\n"
+                        f"{m[0]},{m[1]},{m[2]},{m[3]},{m[4]},{m[5]},{m[6]},"
+                        f"{cost_blk[ctu, cu]},"
+                        f"{v[0]},{v[1]},{v[2]},{v[3]},{v[4]},{v[5]}\n"
                     )
+                    i = stride + cu  # noqa: F841  (kept for readability)
             block = "".join(lines)
             if fh is not None:
                 fh.write(block)
