@@ -340,14 +340,25 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
             ref_flat, spec.frame_w, spec.frame_h, ctu_y, ctu_x,
             dy, dx, hc, vc)
 
+    return _reduce_pred(spec, t, pred, orig16, within_j, refine)
+
+
+def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig16, within_j,
+                 refine: bool):
+    """SATD / gradient / normal-equation reductions from bin pred planes.
+
+    pred may have a length-1 bin axis (broadcast), e.g. the zero-MV case.
+    """
+    one_bin = pred.shape[1] == 1
     # ---- SATD per block, reduced per CU --------------------------------
     pred16 = _blocks16(pred)                       # [nCtu, nBin, NB, NB, 16]
     sb_satd = satd_ops.satd_4x4(orig16[:, None], pred16)
     satd_cols = []
     for ci, cp_tab in enumerate(t.cls):
+        bi = 0 if one_bin else int(t.bin_of[ci])
         satd_cu = P.reduce_slots_to_cu(
             jnp, jnp.where(jnp.asarray(cp_tab.slot_valid),
-                           sb_satd[:, int(t.bin_of[ci])].astype(jnp.int64),
+                           sb_satd[:, bi].astype(jnp.int64),
                            0), cp_tab)
         satd_cols.append(satd_cu)
     satd = jnp.concatenate(satd_cols, axis=1)
@@ -360,7 +371,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
     Pn = 2 * spec.n_cp
     moments = []
     for bi in range(t.n_bins):
-        plane = pred[:, bi]
+        plane = pred[:, 0 if one_bin else bi]
         gx, gy = _sobel_replicated(
             plane, t.bin_row_top[bi], t.bin_row_bot[bi],
             t.bin_col_left[bi], t.bin_col_right[bi])
@@ -410,6 +421,21 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
     return satd, M, rhs
 
 
+def _evaluate_zero(spec: PlaneSpec, t: PlaneTables, ref_pl, orig16,
+                   within_j, refine: bool):
+    """Iteration-0 evaluate for 2CP stages: CPMVs are all zero
+    (affine.cl:53-59), so every block's prediction is the phase-0 filter of
+    the co-located reference sample — a closed-form elementwise map of the
+    reference plane, identical for every size class.  No warp needed.
+
+    ref_pl: int32 [nCtu, 128, 128] co-located reference CTU tiles.
+    """
+    tmp = (ref_pl * 64 + warp_ops._OFF1) >> warp_ops._SHIFT1
+    p0 = jnp.clip((tmp * 64 + warp_ops._OFF2) >> warp_ops._SHIFT2,
+                  C.CLP_RNG_MIN, C.CLP_RNG_MAX)
+    return _reduce_pred(spec, t, p0[:, None], orig16, within_j, refine)
+
+
 def _init_cpmvs(spec: PlaneSpec, t: PlaneTables, prev, abs_x, abs_y):
     """2CP: zeros (affine.cl:53-59); 3CP: LT/RT from 2CP best + derived LB
     (affine.cl:62-106).  Canonical class order throughout."""
@@ -456,6 +482,11 @@ def _stage_run(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat, lam,
     orig_pl = orig2d.reshape(t.n_ctu_y, 128, t.n_ctu_x, 128)
     orig_pl = orig_pl.transpose(0, 2, 1, 3).reshape(t.n_ctus, 128, 128)
     orig16 = _blocks16(orig_pl)
+    ref2d = jnp.pad(
+        ref_flat.reshape(spec.frame_h, spec.frame_w),
+        ((0, oh - spec.frame_h), (0, ow - spec.frame_w)))
+    ref_pl = ref2d.reshape(t.n_ctu_y, 128, t.n_ctu_x, 128)
+    ref_pl = ref_pl.transpose(0, 2, 1, 3).reshape(t.n_ctus, 128, 128)
 
     curr = _init_cpmvs(spec, t, prev_cpmvs, abs_x, abs_y)
     best_cost = jnp.full((t.n_ctus, t.n_cus), C.MAX_LONG, jnp.int64)
@@ -479,9 +510,17 @@ def _stage_run(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat, lam,
         curr = _refine_cpmvs(spec, t, curr, M, rhs, cu_w, cu_h, abs_x, abs_y)
         return (curr, best_cost, best_cp), None
 
+    n_iters = spec.num_gradient_iters
+    if spec.n_cp == 2:
+        # iteration 0 in closed form (zero CPMVs)
+        satd, M, rhs = _evaluate_zero(spec, t, ref_pl, orig16, within_j, True)
+        cost = cost_of(curr, satd)
+        best_cost, best_cp = update_best(curr, cost, best_cost, best_cp)
+        curr = _refine_cpmvs(spec, t, curr, M, rhs, cu_w, cu_h, abs_x, abs_y)
+        n_iters -= 1
+
     (curr, best_cost, best_cp), _ = lax.scan(
-        body, (curr, best_cost, best_cp), None,
-        length=spec.num_gradient_iters)
+        body, (curr, best_cost, best_cp), None, length=n_iters)
     satd, _, _ = _evaluate(
         spec, t, ref_flat, refpad, orig16, curr, within_j, False)
     cost = cost_of(curr, satd)
