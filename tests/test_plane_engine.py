@@ -42,3 +42,24 @@ def test_plane_engine_matches_gather_engine(mode):
             ref, orig, lam, p_new)
     assert np.array_equal(np.asarray(c3r), np.asarray(c3n))
     assert np.array_equal(np.asarray(p3r), np.asarray(p3n))
+
+
+def test_qp_sweep_parity():
+    """Engine parity across the standard QP sweep {22, 27, 32, 37}.
+
+    Lambda is the only QP-dependent input to a stage (main.cpp:585), so the
+    compiled stage is reused and only the scalar changes.
+    """
+    from vvc_affine_tpu import constants as C
+
+    ref, orig = _frames(11)
+    f_ref = affine_me.build_stage(affine_me.StageSpec("full", 2, FW, FH))
+    f_new = affine_plane.build_stage(
+        affine_plane.PlaneSpec("full", 2, FW, FH, use_pallas=False))
+    z = affine_me.zero_cpmvs(affine_me.StageSpec("full", 2, FW, FH))
+    for qp in (22, 27, 32, 37):
+        lam = jnp.float32(C.lambda_for(qp, 1))
+        c_r, p_r = f_ref(ref, orig, lam, z)
+        c_n, p_n = f_new(ref, orig, lam, z)
+        assert np.array_equal(np.asarray(c_r), np.asarray(c_n)), qp
+        assert np.array_equal(np.asarray(p_r), np.asarray(p_n)), qp

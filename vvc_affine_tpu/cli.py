@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ReportToTerminal", action="store_true")
     p.add_argument("--CheckpointDir", type=str, default="",
                    help="enable GOP-level checkpoint/resume in this directory")
+    p.add_argument("--MemoryReport", action="store_true",
+                   help="print the device-buffer footprint table")
     p.add_argument("--SkipFull", action="store_true",
                    help="Skip aligned-CU prediction")
     p.add_argument("--SkipHalf", action="store_true",
@@ -93,6 +95,8 @@ def main(argv=None) -> int:
             )
 
     pipe.encode(orig, ref, on_result=on_result, timing=timing, checkpoint=ckpt)
+    if args.MemoryReport:
+        print(reporting.memory_report(w, h))
     timing.report(n)
     return 0
 

@@ -171,3 +171,54 @@ class Timing:
         print(f"TOTAL_EXEC_TIME({n_frames}x),{total:f}")
         print(f"OVERALL({n_frames}x),{(time.time() - self.t0) * 1e9:f}")
         print("=-" * 23)
+
+
+def memory_report(frame_w: int, frame_h: int) -> str:
+    """Per-stage device-buffer footprint table.
+
+    Analogue of accessMemoryUsage/reportMemoryUsage
+    (main_aux_functions.h:148-234, 1448-1471), which queries
+    clGetMemObjectInfo for every kernel argument.  Here the buffers are the
+    dense-engine arrays, whose sizes are static functions of the frame
+    geometry; actual live allocation is also queried from the device when
+    available.
+    """
+    import jax
+
+    from vvc_affine_tpu import geometry as G2
+    from vvc_affine_tpu import planes as P2
+    from vvc_affine_tpu.ops import warp as W2
+
+    grid = G2.frame_grid(frame_w, frame_h)
+    n = grid.num_ctus
+    hp, wp = W2.refpad_shape(grid.ctu_rows, grid.ctu_cols)
+    lines = [f"MEMORY USAGE (bytes), frame {frame_w}x{frame_h}, {n} CTUs"]
+    lines.append(f"ref/orig plane (int32): {frame_w * frame_h * 4}")
+    lines.append(f"refpad VMEM plane (int16): {hp * wp * 2}")
+    for mode in ("full", "half"):
+        lay = G2.layout(mode)
+        bins, _ = P2.bin_layout(mode)
+        nb = len(bins)
+        lines.append(
+            f"[{mode}] displacement/phase planes dy,dx,fx,fy (int32): "
+            f"{4 * n * nb * 32 * 32 * 4}")
+        lines.append(
+            f"[{mode}] tap planes hc,vc lane-expanded (int32): "
+            f"{2 * n * nb * 8 * 32 * 128 * 4}")
+        lines.append(
+            f"[{mode}] pred planes (int16): {n * nb * 128 * 128 * 2}")
+        lines.append(
+            f"[{mode}] per-CU cost/cpmvs out (int64+int32): "
+            f"{n * lay.cus_per_ctu * (8 + 24)}")
+        p = 4 if mode else 6
+        lines.append(
+            f"[{mode}] equation systems M,rhs 2CP (int64): "
+            f"{n * lay.cus_per_ctu * (16 + 4) * 8}")
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        lines.append(f"device bytes_in_use: {stats.get('bytes_in_use', 'n/a')}")
+        lines.append(
+            f"device peak_bytes_in_use: {stats.get('peak_bytes_in_use', 'n/a')}")
+    except Exception:
+        pass
+    return "\n".join(lines)
