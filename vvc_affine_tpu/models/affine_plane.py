@@ -72,10 +72,11 @@ class PlaneTables(NamedTuple):
     bins: Tuple[Tuple[int, ...], ...]  # disjoint-class packing (planes.bin_layout)
     bin_of: np.ndarray                 # int32 [n_cls]
     # merged per-bin Sobel border masks
-    bin_row_top: np.ndarray            # bool [n_bins, 128]
+    bin_row_top: np.ndarray            # bool [n_bins, 128, 128]
     bin_row_bot: np.ndarray
     bin_col_left: np.ndarray
     bin_col_right: np.ndarray
+    slab_active: np.ndarray            # int32 [n_bins, 1, 16]
     strides: Tuple[int, ...]          # canonical per-class CU offsets
     cls: Tuple[P.ClassPlane, ...]
     # canonical per-CU tables [nCtu, nCU] / [nCU]
@@ -114,11 +115,19 @@ def build_tables(spec: PlaneSpec) -> PlaneTables:
                 brb[bi, y0 + c.height - 1, x0:x0 + c.width] = True
                 bcl[bi, y0:y0 + c.height, x0] = True
                 bcr[bi, y0:y0 + c.height, x0 + c.width - 1] = True
+    slab_active = np.zeros((n_bins, 1, 16), np.int32)
+    for bi, ids in enumerate(bins):
+        valid = np.zeros((P.NB, P.NB), bool)
+        for ci in ids:
+            valid |= cls[ci].slot_valid
+        for k in range(16):
+            slab_active[bi, 0, k] = int(valid[2 * k:2 * k + 2].any())
     return PlaneTables(
         n_ctu_y=grid.ctu_rows, n_ctu_x=grid.ctu_cols, n_ctus=grid.num_ctus,
         n_cus=lay.cus_per_ctu, n_cls=len(lay.classes),
         n_bins=n_bins, bins=bins, bin_of=bin_of,
         bin_row_top=brt, bin_row_bot=brb, bin_col_left=bcl, bin_col_right=bcr,
+        slab_active=slab_active,
         strides=lay.return_strides, cls=cls,
         abs_x=abs_x.astype(np.int32), abs_y=abs_y.astype(np.int32),
         within=within, cu_w=lay.cu_w.astype(np.int32),
@@ -285,7 +294,8 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
             refpad,
             warp_ops.expand_lanes(dy), warp_ops.expand_lanes(dx),
             warp_ops.expand_lanes(hc), warp_ops.expand_lanes(vc),
-            t.n_ctu_y, t.n_ctu_x, R=R, interpret=spec.interpret)
+            t.n_ctu_y, t.n_ctu_x, R=R, interpret=spec.interpret,
+            slab_active=jnp.asarray(t.slab_active))
         # Escaped blocks (|d| > R; the kernel's masked selects miss and
         # leave garbage there) are recomputed exactly one-by-one and
         # scattered back in.  Fix-up slots beyond the escape count point at

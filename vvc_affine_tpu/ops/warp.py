@@ -134,12 +134,12 @@ def _warp_kernel(R: int):
     S0 = -(R + 3)
     NR = 2 * R + 14          # candidate rows (padded for the radix-4 select)
 
-    def kernel(dy_ref, dx_ref, hc_ref, vc_ref, ref_ref, out_ref, rows8):
-        def slab_body(k):
+    def kernel(act_ref, dy_ref, dx_ref, hc_ref, vc_ref, ref_ref, out_ref,
+               rows8):
+        def slab_body(k, yk, xk):
             # slab k covers refpad rows [128 ty + PAD - 24 + 8k, +56)
-            yk = pl.multiple_of(
-                128 * pl.program_id(0) + (PAD - 24) + 8 * k, 8)
-            xk = pl.multiple_of(128 * pl.program_id(1), 128)
+            # (body predicated off for slabs with no valid blocks in this
+            # bin — 23% of half-aligned slabs; consumers mask those slots)
             slab = ref_ref[pl.ds(yk, 56), pl.ds(xk, 256)].astype(jnp.int32)
 
             for j in range(2):
@@ -202,7 +202,15 @@ def _warp_kernel(R: int):
         # (infinite _convert_helper recursion, jax 0.9.0); the static form
         # also gives Mosaic compile-time slab addresses.
         for k in range(16):
-            slab_body(k)
+            # program_id stays outside the predicate (interpret mode can't
+            # lower it inside the when-branch)
+            yk = pl.multiple_of(
+                128 * pl.program_id(0) + (PAD - 24) + 8 * k, 8)
+            xk = pl.multiple_of(128 * pl.program_id(1), 128)
+
+            @pl.when(act_ref[0, 0, k] != 0)
+            def _(k=k, yk=yk, xk=xk):
+                slab_body(k, yk, xk)
 
     return kernel
 
@@ -216,6 +224,9 @@ def _warp_pallas_fn(n_ctu_y: int, n_ctu_x: int, n_cls: int, R: int,
     n_ctu = n_ctu_y * n_ctu_x
     kernel = _warp_kernel(R)
 
+    def im_act(ty, tx, c):
+        return (c, 0, 0)
+
     def im_blk(ty, tx, c):
         return (ty * n_ctu_x + tx, c, 0, 0)
 
@@ -227,6 +238,7 @@ def _warp_pallas_fn(n_ctu_y: int, n_ctu_x: int, n_cls: int, R: int,
         grid=(n_ctu_y, n_ctu_x, n_cls),
         out_shape=jax.ShapeDtypeStruct((n_ctu, n_cls, 128, 128), jnp.int16),
         in_specs=[
+            pl.BlockSpec((1, 1, 16), im_act, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, NB, 128), im_tap, memory_space=pltpu.VMEM),
@@ -250,14 +262,19 @@ def expand_lanes(plane):
 
 
 def warp_pallas(refpad, dy_l, dx_l, hc_l, vc_l, n_ctu_y: int, n_ctu_x: int,
-                R: int = 8, interpret: bool = False):
+                R: int = 8, interpret: bool = False, slab_active=None):
     """Fast dense warp; exact iff all |dy|,|dx| <= R.
 
     refpad: int16 [Hp, Wp] from build_refpad; dy_l/dx_l: int32
     [nCtu, nCls, NB, 128] (lane-expanded, see expand_lanes); hc_l/vc_l:
-    int32 [nCtu, nCls, 8, NB, 128].  Returns int32 [nCtu, nCls, 128, 128].
+    int32 [nCtu, nCls, 8, NB, 128]; slab_active: optional int32
+    [nCls, 1, 16] per-(class, 8-row slab) work mask (planes with no valid
+    blocks in a slab skip it; their output rows are unspecified).
+    Returns int32 [nCtu, nCls, 128, 128].
     """
     n_cls = dy_l.shape[1]
+    if slab_active is None:
+        slab_active = jnp.ones((n_cls, 1, 16), jnp.int32)
     fn = _warp_pallas_fn(n_ctu_y, n_ctu_x, n_cls, R, interpret)
     # Trace the kernel with x64 semantics off: the package enables
     # jax_enable_x64 globally (the VTM solver needs f64), which leaks i64
@@ -266,7 +283,7 @@ def warp_pallas(refpad, dy_l, dx_l, hc_l, vc_l, n_ctu_y: int, n_ctu_x: int,
     # func.return legalization failures, jax 0.9.0).  All kernel dtypes are
     # explicit, so semantics are unchanged.
     with jax.enable_x64(False):
-        out = fn(dy_l, dx_l, hc_l, vc_l, refpad)
+        out = fn(slab_active, dy_l, dx_l, hc_l, vc_l, refpad)
     return out.astype(jnp.int32)
 
 
