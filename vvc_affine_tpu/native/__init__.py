@@ -7,6 +7,7 @@ source; callers fall back to pure-Python paths when no toolchain is present.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -15,34 +16,52 @@ from typing import Optional
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "vvc_native.cpp")
 _SO = os.path.join(_HERE, "libvvcnative.so")
+_HASH = _SO + ".srchash"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC],
             check=True, capture_output=True, timeout=120,
         )
         os.replace(_SO + ".tmp", _SO)
+        with open(_HASH, "w") as f:
+            f.write(src_hash)
         return True
     except Exception:
         return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """The native library, building it if needed; None if unavailable."""
+    """The native library, building it if needed; None if unavailable.
+
+    The binary is never shipped in version control; the build cache is keyed
+    on a sha256 of the source, so a stale or foreign .so is always rebuilt.
+    """
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        fresh = os.path.exists(_SO) and (
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC))
-        if not fresh and not _build():
+        src_hash = _src_hash()
+        fresh = False
+        if os.path.exists(_SO) and os.path.exists(_HASH):
+            try:
+                with open(_HASH) as f:
+                    fresh = f.read().strip() == src_hash
+            except OSError:
+                fresh = False
+        if not fresh and not _build(src_hash):
             return None
         try:
             lib = ctypes.CDLL(_SO)

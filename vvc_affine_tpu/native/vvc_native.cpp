@@ -22,7 +22,9 @@ extern "C" {
 
 // Parse `rows` CSV lines of at least `cols` comma-separated unsigned ints
 // into out[rows*cols] (row-major), ignoring any extra columns.  Returns 0,
-// or -1 (open/map failure) / -(2+row) (file ended early at `row`).
+// or -1 (open/map failure) / -(2+row) (file ended early, a field with no
+// digits, or a value exceeding uint16 range at `row` — malformed input
+// fails loudly instead of silently producing corrupted frames).
 int64_t vvc_parse_luma_csv(const char* path, uint16_t* out, int64_t rows,
                            int64_t cols) {
   int fd = open(path, O_RDONLY);
@@ -49,11 +51,16 @@ int64_t vvc_parse_luma_csv(const char* path, uint16_t* out, int64_t rows,
         return -(2 + r);
       }
       uint32_t v = 0;
+      const char* field_start = p;
       while (p < end) {
         unsigned d = static_cast<unsigned>(*p) - '0';
         if (d > 9u) break;
         v = v * 10u + d;
         ++p;
+      }
+      if (p == field_start || v > 65535u) {
+        munmap(const_cast<char*>(base), len);
+        return -(2 + r);
       }
       dst[c++] = static_cast<uint16_t>(v);
       // skip one separator (',' normally; tolerate stray whitespace)
