@@ -58,3 +58,30 @@ def test_stage_parity(fw, fh, mode):
     e_cost3, e_cp3 = oracle_engine.run_stage(mode, 3, ref, orig, LAM, e_cp2)
     np.testing.assert_array_equal(np.asarray(cost3), e_cost3)
     np.testing.assert_array_equal(np.asarray(cp3), e_cp3)
+
+
+def test_stage_parity_extra_iters():
+    """--ExtraGradientIter parity (affine.cl:173-177, the +extraGradIter
+    term): one extra refinement round changes the decision set; both
+    engines must track the oracle exactly."""
+    from vvc_affine_tpu.models import affine_plane
+
+    fw, fh = 128, 128
+    ref, orig = _frames(fw, fh)
+    ref_j = jnp.asarray(ref.ravel())
+    orig_j = jnp.asarray(orig.ravel())
+    e_cost, e_cp = oracle_engine.run_stage(
+        "full", 2, ref, orig, LAM, extra_iters=1)
+
+    run_g = affine_me.build_stage(affine_me.StageSpec("full", 2, fw, fh,
+                                                      extra_iters=1))
+    zeros = affine_me.zero_cpmvs(affine_me.StageSpec("full", 2, fw, fh))
+    cost_g, cp_g = run_g(ref_j, orig_j, jnp.float32(LAM), zeros)
+    np.testing.assert_array_equal(np.asarray(cost_g), e_cost)
+    np.testing.assert_array_equal(np.asarray(cp_g), e_cp)
+
+    run_p = affine_plane.build_stage(affine_plane.PlaneSpec(
+        "full", 2, fw, fh, extra_iters=1))
+    cost_p, cp_p = run_p(ref_j, orig_j, jnp.float32(LAM), zeros)
+    np.testing.assert_array_equal(np.asarray(cost_p), e_cost)
+    np.testing.assert_array_equal(np.asarray(cp_p), e_cp)

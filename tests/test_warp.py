@@ -60,45 +60,132 @@ def test_warp_xla_matches_interp():
         assert np.array_equal(np.asarray(blk), got), (t, c, by, bx)
 
 
-@pytest.mark.parametrize("R", [4, 8, 16])
+def _tiles_of(ref, grid):
+    refpad = warp_ops.build_refpad(ref, FW, FH, grid.ctu_rows, grid.ctu_cols)
+    return warp_ops.build_tiles(refpad, grid.ctu_rows, grid.ctu_cols)
+
+
+@pytest.mark.parametrize("R", [2, 4, 8, 16])
 def test_warp_pallas_matches_xla(R):
     grid, ref, ctu_y, ctu_x, dy, dx, hc, vc, _, _ = _setup(10 + R, 2, R)
     want = np.asarray(warp_ops.warp_xla(ref, FW, FH, ctu_y, ctu_x,
                                         dy, dx, hc, vc))
-    refpad = warp_ops.build_refpad(ref, FW, FH, grid.ctu_rows, grid.ctu_cols)
     got = np.asarray(warp_ops.warp_pallas(
-        refpad,
+        _tiles_of(ref, grid),
         warp_ops.expand_lanes(dy), warp_ops.expand_lanes(dx),
         warp_ops.expand_lanes(hc), warp_ops.expand_lanes(vc),
-        grid.ctu_rows, grid.ctu_cols, R=R, interpret=True))
+        R=R, interpret=True))
     assert np.array_equal(want, got)
 
 
-def test_escape_fixup_exact():
-    """Blocks with |d| > R are recomputed exactly (interpret-mode kernel)."""
+def test_build_tiles_4k_geometry():
+    """Tile extraction is exact at the 4K workload size (510 CTUs).
+
+    The reference's largest supported resolution (constants.h:73-79).
+    Validates the overlapping reshape/concat construction against direct
+    refpad slicing for every CTU — the axis the old whole-refpad-in-VMEM
+    kernel could not scale (VMEM), which tiles fix.
+    """
+    fw, fh = 3840, 2160
+    ny, nx = 17, 30
+    rng = np.random.default_rng(9)
+    ref = jnp.asarray(
+        rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
+    refpad = np.asarray(warp_ops.build_refpad(ref, fw, fh, ny, nx))
+    tiles = np.asarray(warp_ops.build_tiles(jnp.asarray(refpad), ny, nx))
+    assert tiles.shape == (510, warp_ops.TILE_H, warp_ops.TILE_W)
+    r0 = warp_ops.PAD - warp_ops.TILE_TOP
+    for ty in (0, 1, 8, 16):
+        for tx in (0, 1, 15, 29):
+            want = refpad[128 * ty + r0:128 * ty + r0 + warp_ops.TILE_H,
+                          128 * tx:128 * tx + warp_ops.TILE_W]
+            np.testing.assert_array_equal(
+                tiles[ty * nx + tx], want, err_msg=f"{ty},{tx}")
+
+
+def _eval_setup(seed):
     from vvc_affine_tpu.models import affine_plane as ap
 
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(seed)
     ref = jnp.asarray(rng.integers(0, 1024, size=(FH * FW,)).astype(np.int32))
     orig = jnp.asarray(rng.integers(0, 1024, size=(FH * FW,)).astype(np.int32))
+    return ap, ref, orig
+
+
+def _eval(ap, spec, t, ref, orig, cp):
+    tiles, orig16, _ = ap.prep_inputs(spec, t, ref, orig)
+    satd, _, _, telem = ap._evaluate(
+        spec, t, ap.dyn_tables(t), ref, tiles, orig16, cp, False)
+    return satd, telem
+
+
+def test_escape_fallback_exact():
+    """Beyond-budget escapes trigger the exact whole-frame fallback."""
+    from vvc_affine_tpu.models import affine_plane as ap
+
+    ap, ref, orig = _eval_setup(3)
     spec_fast = ap.PlaneSpec("full", 2, FW, FH, use_pallas=True,
-                             interpret=True, R=4, escape_budget=8192)
+                             interpret=True, R=4, escape_budget=512,
+                             adaptive=False)
     spec_ref = ap.PlaneSpec("full", 2, FW, FH, use_pallas=False)
     t = ap.build_tables(spec_fast)
-    within = jnp.asarray(t.within)
     # CPMVs with a large uniform translation (40 px = 640 sixteenth-pel):
-    # every block displacement escapes R=4
+    # every block displacement escapes R=4, blowing the 512-slot budget
     cp = jnp.zeros((t.n_ctus, t.n_cus, 3, 2), jnp.int32)
     cp = cp.at[..., :, 0].set(640).at[..., :, 1].set(-320)
-    from vvc_affine_tpu.ops import warp as warp_ops
-    refpad = warp_ops.build_refpad(ref, FW, FH, t.n_ctu_y, t.n_ctu_x)
-    oh, ow = 128 * t.n_ctu_y, 128 * t.n_ctu_x
-    orig2d = jnp.pad(orig.reshape(FH, FW), ((0, oh - FH), (0, ow - FW)))
-    orig_pl = orig2d.reshape(t.n_ctu_y, 128, t.n_ctu_x, 128)
-    orig_pl = orig_pl.transpose(0, 2, 1, 3).reshape(t.n_ctus, 128, 128)
-    orig16 = ap._blocks16(orig_pl)
-    s_fast, _, _ = ap._evaluate(spec_fast, t, ref, refpad, orig16, cp,
-                                within, False)
-    s_ref, _, _ = ap._evaluate(spec_ref, t, ref, refpad, orig16, cp,
-                               within, False)
+    s_fast, telem = _eval(ap, spec_fast, t, ref, orig, cp)
+    s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
+    assert int(telem.n_fallbacks) == 1
+    assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
+
+
+def test_escape_scatter_exact():
+    """A handful of escaped CUs go through the two-level compaction +
+    per-block exact fix-up scatter (NOT the whole-frame fallback), and the
+    result is bit-identical to the gather path."""
+    from vvc_affine_tpu.models import affine_plane as ap
+
+    ap, ref, orig = _eval_setup(4)
+    spec_fast = ap.PlaneSpec("full", 2, FW, FH, use_pallas=True,
+                             interpret=True, R=4, escape_budget=4096,
+                             adaptive=False)
+    spec_ref = ap.PlaneSpec("full", 2, FW, FH, use_pallas=False)
+    t = ap.build_tables(spec_fast)
+    # all-zero motion except three 32x32 CUs with a 9-px translation:
+    # 0 < n_esc <= budget and n_groups <= GT, so the scatter path runs
+    cp = jnp.zeros((t.n_ctus, t.n_cus, 3, 2), jnp.int32)
+    s32 = t.strides[6]  # 32x32 class offset (canonical order)
+    for ctu, cu in ((0, 0), (1, 3), (3, 7)):
+        cp = cp.at[ctu, s32 + cu, :, 0].set(144).at[ctu, s32 + cu, :, 1].set(-144)
+    s_fast, telem = _eval(ap, spec_fast, t, ref, orig, cp)
+    s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
+    n_esc = int(telem.n_escapes)
+    assert 0 < n_esc <= 4096 and int(telem.n_fallbacks) == 0, n_esc
+    assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
+
+
+def test_adaptive_dispatch_exact():
+    """The R-ladder dispatcher is exact at every rung boundary."""
+    from vvc_affine_tpu.models import affine_plane as ap
+
+    ap, ref, orig = _eval_setup(5)
+    spec_fast = ap.PlaneSpec("full", 2, FW, FH, use_pallas=True,
+                             interpret=True, R=8)
+    spec_ref = ap.PlaneSpec("full", 2, FW, FH, use_pallas=False)
+    assert spec_fast.r_ladder == (2, 4, 8)
+    t = ap.build_tables(spec_fast)
+    for mv in (16, 32, 48, 64, 80, 128):   # maxd = 1, 2, 3, 4, 5, 8
+        cp = jnp.full((t.n_ctus, t.n_cus, 3, 2), mv, jnp.int32)
+        s_fast, _ = _eval(ap, spec_fast, t, ref, orig, cp)
+        s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
+        assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref)), mv
+    # mostly-small motion + a few 6-px outlier CUs: the dispatcher picks a
+    # middle rung and its small escape budget fixes the outliers exactly
+    cp = jnp.full((t.n_ctus, t.n_cus, 3, 2), 16, jnp.int32)
+    s32 = t.strides[6]
+    for ctu, cu in ((0, 1), (2, 5)):
+        cp = cp.at[ctu, s32 + cu, :, 0].set(96).at[ctu, s32 + cu, :, 1].set(96)
+    s_fast, telem = _eval(ap, spec_fast, t, ref, orig, cp)
+    s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
+    assert int(telem.n_escapes) > 0 and int(telem.n_fallbacks) == 0
     assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))

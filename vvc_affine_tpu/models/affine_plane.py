@@ -56,10 +56,40 @@ class PlaneSpec:
     escape_budget: int = 4096           # per-block exact fix-up slots
     use_pallas: Optional[bool] = None   # None -> auto (TPU only)
     interpret: bool = False             # pallas interpret mode (tests)
+    # per-evaluate adaptive displacement bound: dispatch to a cheaper
+    # kernel (smaller select support) whenever the blocks beyond its bound
+    # fit the escape fix-up budget; exactness-neutral (every rung is exact
+    # for the inputs it is chosen for), so this is purely a perf knob
+    adaptive: bool = True
 
     @property
     def num_gradient_iters(self) -> int:
         return (5 if self.n_cp == 2 else 4) + self.extra_iters
+
+    @property
+    def r_ladder(self) -> Tuple[int, ...]:
+        """Ascending kernel displacement bounds tried by the dispatcher."""
+        if not self.adaptive:
+            return (self.R,)
+        return tuple(r for r in (2, 4) if r < self.R) + (self.R,)
+
+
+class DynTables(NamedTuple):
+    """Per-CTU tables as traced arrays (shardable over the CTU axis)."""
+
+    abs_x: jnp.ndarray   # int32 [nCtu, nCU]
+    abs_y: jnp.ndarray
+    within: jnp.ndarray  # bool  [nCtu, nCU]
+    ctu_x: jnp.ndarray   # int32 [nCtu]
+    ctu_y: jnp.ndarray
+
+
+class EvalTelemetry(NamedTuple):
+    """Escape-budget counters (int32 scalars), summed over iterations."""
+
+    n_escapes: jnp.ndarray       # blocks recomputed by the exact fix-up
+    max_groups: jnp.ndarray      # peak escape-containing (ctu, class) groups
+    n_fallbacks: jnp.ndarray     # whole-frame warp_xla fallbacks fired
 
 
 class PlaneTables(NamedTuple):
@@ -141,7 +171,7 @@ def _class_slice(t: PlaneTables, ci: int):
     return slice(s, s + t.cls[ci].num_cus)
 
 
-def _mv_planes(spec: PlaneSpec, t: PlaneTables, cpmvs, within_j):
+def _mv_planes(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, cpmvs):
     """Per-class displacement/phase planes from canonical CPMVs.
 
     Returns dy, dx int32 [nCtu, nCls, NB, NB] and fx, fy likewise.
@@ -159,7 +189,7 @@ def _mv_planes(spec: PlaneSpec, t: PlaneTables, cpmvs, within_j):
         spread = mv_ops.is_spread_over_limit(hx, hy, vx, vy)
         base_x = cp[..., 0, 0] << (C.MAX_CU_DEPTH - 4 + 4)
         base_y = cp[..., 0, 1] << (C.MAX_CU_DEPTH - 4 + 4)
-        w_cu = within_j[:, sl]
+        w_cu = dyn.within[:, sl]
         zero = jnp.int32(0)
         vals = [jnp.where(w_cu, v, zero)
                 for v in (hx, hy, vx, vy, base_x, base_y)]
@@ -173,9 +203,9 @@ def _mv_planes(spec: PlaneSpec, t: PlaneTables, cpmvs, within_j):
         mvy = byp + hyp * cxs + vyp * cys
         # clip bounds use the CU corner position (aux_functions.cl:90-101)
         pux = P.spread_cu_to_slots(
-            jnp, jnp.where(w_cu, jnp.asarray(t.abs_x[:, sl]), zero), cp_tab)
+            jnp, jnp.where(w_cu, dyn.abs_x[:, sl], zero), cp_tab)
         puy = P.spread_cu_to_slots(
-            jnp, jnp.where(w_cu, jnp.asarray(t.abs_y[:, sl]), zero), cp_tab)
+            jnp, jnp.where(w_cu, dyn.abs_y[:, sl], zero), cp_tab)
         mvx, mvy = mv_ops.round_and_clip_mv(
             mvx, mvy, pux, puy, spec.frame_w, spec.frame_h)
         validp = jnp.asarray(cp_tab.slot_valid)
@@ -272,85 +302,154 @@ def _factor_planes(cp_tab: P.ClassPlane, n_cp: int):
     return a, b
 
 
-def _evaluate(spec: PlaneSpec, t: PlaneTables, ref_flat, refpad, orig16,
-              cpmvs, within_j, refine: bool):
-    """One prediction pass; returns (satd [nCtu,nCU] i64, M, rhs | None)."""
-    dy, dx, fx, fy = _mv_planes(spec, t, cpmvs, within_j)
+def _zero_telem() -> EvalTelemetry:
+    z = jnp.int32(0)
+    return EvalTelemetry(z, z, z)
+
+
+def _mid_budget(spec: PlaneSpec) -> int:
+    """Escape budget of the narrow dispatch rungs (small: outliers only)."""
+    return min(1024, spec.escape_budget)
+
+
+def _warp_kernel_only(spec: PlaneSpec, t: PlaneTables, tiles,
+                      dy, dx, hc, vc, R: int):
+    return warp_ops.warp_pallas(
+        tiles,
+        warp_ops.expand_lanes(dy), warp_ops.expand_lanes(dx),
+        warp_ops.expand_lanes(hc), warp_ops.expand_lanes(vc),
+        R=R, interpret=spec.interpret,
+        slab_active=jnp.asarray(t.slab_active))
+
+
+def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
+                  pred, dy, dx, hc, vc, rt):
+    """Exact per-block recompute of every block displaced beyond ``rt``.
+
+    ``rt`` is the (possibly traced) displacement bound of the kernel that
+    produced ``pred`` — the threshold is data, so ONE fix-up graph serves
+    every dispatch rung (a per-rung copy triples XLA's scoped-vmem use of
+    the compaction cumsums and overflows it).
+    """
+    n_bins = dy.shape[1]
+    esc = (jnp.abs(dy) > rt) | (jnp.abs(dx) > rt)
+    n_esc = esc.sum()
+    # Escaped blocks (|d| > rt; the kernel's masked selects miss and
+    # leave garbage there) are recomputed exactly one-by-one and
+    # scattered back in.  Fix-up slots beyond the escape count point at
+    # block 0 whose recompute equals the fast-path value, so the
+    # scatter is harmless.  The reference pays its full 121-load cost
+    # for EVERY sub-block (affine.cl:288-326); here only outliers do.
+    E = spec.escape_budget
+    # group-table floor 64: real content reached 17 escape-containing
+    # groups (past the old floor of 16) and paid a multi-second whole-frame
+    # fallback; headroom here is a few extra rows of a tiny gather
+    GT = max(E // NB // NB, 64)
+    # two-level compaction: a flat nonzero over all block flags costs
+    # >100 ms (its cumsum also trips XLA's scoped-vmem limit); first
+    # compact escape-containing (ctu, class) groups (~1.6k flags), then
+    # blocks within those groups.
+    esc_g = esc.any(axis=(-2, -1)).ravel()           # [nCtu*nCls]
+    n_groups = esc_g.sum()
+    (gidx,) = jnp.nonzero(esc_g, size=GT, fill_value=0)
+    gidx = gidx.astype(jnp.int32)
+    g_flags = esc.reshape(-1, NB * NB)[gidx]         # [GT, NB*NB]
+    (fi,) = jnp.nonzero(g_flags.ravel(), size=E, fill_value=0)
+    fi = fi.astype(jnp.int32)
+    flat_idx = gidx[fi // (NB * NB)] * (NB * NB) + fi % (NB * NB)
+    bxi = flat_idx % NB
+    byi = (flat_idx // NB) % NB
+    ci = (flat_idx // (NB * NB)) % n_bins
+    ti = flat_idx // (NB * NB * n_bins)
+    g1 = ti * n_bins + ci
+    g2 = byi * NB + bxi
+    dy_f = dy.reshape(-1)[flat_idx]
+    dx_f = dx.reshape(-1)[flat_idx]
+    hc_f = hc.reshape(-1, 8, NB * NB)[g1, :, g2]      # [E, 8]
+    vc_f = vc.reshape(-1, 8, NB * NB)[g1, :, g2]
+    y_blk = dyn.ctu_y[ti] + 4 * byi
+    x_blk = dyn.ctu_x[ti] + 4 * bxi
+    blocks = warp_ops.predict_blocks_flat(
+        ref_flat, spec.frame_w, spec.frame_h,
+        y_blk, x_blk, dy_f, dx_f, hc_f, vc_f)        # [E, 4, 4]
+    rr = jnp.arange(4, dtype=jnp.int32)
+    rows = (4 * byi[:, None] + rr)[:, :, None]       # [E, 4, 1]
+    cols = (4 * bxi[:, None] + rr)[:, None, :]       # [E, 1, 4]
+    pred = pred.at[ti[:, None, None], ci[:, None, None],
+                   rows, cols].set(blocks)
+    # beyond-budget escape counts (pathological inputs): exact fallback
+    over = (n_esc > E) | (n_groups > GT)
+    pred = lax.cond(
+        over,
+        lambda op: warp_ops.warp_xla(
+            ref_flat, spec.frame_w, spec.frame_h, dyn.ctu_y, dyn.ctu_x,
+            op[0], op[1], op[2], op[3]),
+        lambda op: op[4],
+        (dy, dx, hc, vc, pred),
+    )
+    telem = EvalTelemetry(n_esc.astype(jnp.int32),
+                          n_groups.astype(jnp.int32),
+                          over.astype(jnp.int32))
+    return pred, telem
+
+
+def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
+              tiles, orig16, cpmvs, refine: bool):
+    """One prediction pass.
+
+    Returns (satd [nCtu,nCU] i64, M, rhs | None, telem: EvalTelemetry).
+    """
+    dy, dx, fx, fy = _mv_planes(spec, t, dyn, cpmvs)
     hc = _tap_planes(fx)
     vc = _tap_planes(fy)
-    ctu_y = jnp.asarray(t.ctu_y)
-    ctu_x = jnp.asarray(t.ctu_x)
 
     use_pallas = spec.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
     if use_pallas:
-        R = spec.R
-        n_bins = dy.shape[1]
-        esc = (jnp.abs(dy) > R) | (jnp.abs(dx) > R)
-        n_esc = esc.sum()
-        pred = warp_ops.warp_pallas(
-            refpad,
-            warp_ops.expand_lanes(dy), warp_ops.expand_lanes(dx),
-            warp_ops.expand_lanes(hc), warp_ops.expand_lanes(vc),
-            t.n_ctu_y, t.n_ctu_x, R=R, interpret=spec.interpret,
-            slab_active=jnp.asarray(t.slab_active))
-        # Escaped blocks (|d| > R; the kernel's masked selects miss and
-        # leave garbage there) are recomputed exactly one-by-one and
-        # scattered back in.  Fix-up slots beyond the escape count point at
-        # block 0 whose recompute equals the fast-path value, so the
-        # scatter is harmless.  The reference pays its full 121-load cost
-        # for EVERY sub-block (affine.cl:288-326); here only outliers do.
-        E = spec.escape_budget
-        GT = max(E // NB // NB, 16)
-        # two-level compaction: a flat nonzero over all block flags costs
-        # >100 ms (its cumsum also trips XLA's scoped-vmem limit); first
-        # compact escape-containing (ctu, class) groups (~1.6k flags), then
-        # blocks within those groups.
-        esc_g = esc.any(axis=(-2, -1)).ravel()           # [nCtu*nCls]
-        n_groups = esc_g.sum()
-        (gidx,) = jnp.nonzero(esc_g, size=GT, fill_value=0)
-        gidx = gidx.astype(jnp.int32)
-        g_flags = esc.reshape(-1, NB * NB)[gidx]         # [GT, NB*NB]
-        (fi,) = jnp.nonzero(g_flags.ravel(), size=E, fill_value=0)
-        fi = fi.astype(jnp.int32)
-        flat_idx = gidx[fi // (NB * NB)] * (NB * NB) + fi % (NB * NB)
-        bxi = flat_idx % NB
-        byi = (flat_idx // NB) % NB
-        ci = (flat_idx // (NB * NB)) % n_bins
-        ti = flat_idx // (NB * NB * n_bins)
-        g1 = ti * n_bins + ci
-        g2 = byi * NB + bxi
-        dy_f = dy.reshape(-1)[flat_idx]
-        dx_f = dx.reshape(-1)[flat_idx]
-        hc_f = hc.reshape(-1, 8, NB * NB)[g1, :, g2]      # [E, 8]
-        vc_f = vc.reshape(-1, 8, NB * NB)[g1, :, g2]
-        y_blk = ctu_y[ti] + 4 * byi
-        x_blk = ctu_x[ti] + 4 * bxi
-        blocks = warp_ops.predict_blocks_flat(
-            ref_flat, spec.frame_w, spec.frame_h,
-            y_blk, x_blk, dy_f, dx_f, hc_f, vc_f)        # [E, 4, 4]
-        rr = jnp.arange(4, dtype=jnp.int32)
-        rows = (4 * byi[:, None] + rr)[:, :, None]       # [E, 4, 1]
-        cols = (4 * bxi[:, None] + rr)[:, None, :]       # [E, 1, 4]
-        pred = pred.at[ti[:, None, None], ci[:, None, None],
-                       rows, cols].set(blocks)
-        # beyond-budget escape counts (pathological inputs): exact fallback
-        pred = lax.cond(
-            (n_esc > E) | (n_groups > GT),
-            lambda op: warp_ops.warp_xla(
-                ref_flat, spec.frame_w, spec.frame_h, ctu_y, ctu_x,
-                op[0], op[1], op[2], op[3]),
-            lambda op: op[4],
-            (dy, dx, hc, vc, pred),
-        )
+        # Adaptive dispatch: the NARROWEST kernel whose outlier count fits
+        # a small escape budget wins — a handful of wandering CUs (the
+        # common case; refinement steps are small) no longer forces the
+        # wide kernel for the whole frame.  The switch holds ONLY the
+        # kernels; a single shared escape fix-up (threshold = the selected
+        # bound, as data) then recomputes the outliers exactly, and its
+        # whole-frame fallback covers beyond-budget inputs, so the dispatch
+        # is exact for ANY displacements.
+        ladder = spec.r_ladder
+        if len(ladder) == 1:
+            pred = _warp_kernel_only(spec, t, tiles, dy, dx, hc, vc,
+                                     ladder[0])
+            pred, telem = _escape_fixup(
+                spec, t, dyn, ref_flat, pred, dy, dx, hc, vc,
+                jnp.int32(ladder[0]))
+        else:
+            ady, adx = jnp.abs(dy), jnp.abs(dx)
+            E_mid = _mid_budget(spec)
+            GT_mid = max(E_mid // NB // NB, 64)
+            branch = jnp.int32(len(ladder) - 1)
+            for i in range(len(ladder) - 2, -1, -1):
+                e = (ady > ladder[i]) | (adx > ladder[i])
+                ok = (e.sum() <= E_mid) & (
+                    e.any(axis=(-2, -1)).sum() <= GT_mid)
+                branch = jnp.where(ok, jnp.int32(i), branch)
+            pred = lax.switch(
+                branch,
+                [lambda _, r=r: _warp_kernel_only(spec, t, tiles,
+                                                  dy, dx, hc, vc, r)
+                 for r in ladder],
+                None)
+            rt = jnp.asarray(np.asarray(ladder, np.int32))[branch]
+            pred, telem = _escape_fixup(
+                spec, t, dyn, ref_flat, pred, dy, dx, hc, vc, rt)
     else:
         pred = warp_ops.warp_xla(
-            ref_flat, spec.frame_w, spec.frame_h, ctu_y, ctu_x,
+            ref_flat, spec.frame_w, spec.frame_h, dyn.ctu_y, dyn.ctu_x,
             dy, dx, hc, vc)
+        telem = _zero_telem()
 
-    return _reduce_pred(spec, t, pred, orig16, within_j, refine)
+    satd, M, rhs = _reduce_pred(spec, t, pred, orig16, dyn.within, refine)
+    return satd, M, rhs, telem
 
 
 def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig16, within_j,
@@ -450,7 +549,7 @@ def _init_cpmvs(spec: PlaneSpec, t: PlaneTables, prev, abs_x, abs_y):
     """2CP: zeros (affine.cl:53-59); 3CP: LT/RT from 2CP best + derived LB
     (affine.cl:62-106).  Canonical class order throughout."""
     if spec.n_cp == 2:
-        return jnp.zeros((t.n_ctus, t.n_cus, 3, 2), jnp.int32)
+        return jnp.zeros((prev.shape[0], t.n_cus, 3, 2), jnp.int32)
     parts = []
     for ci, cp_tab in enumerate(t.cls):
         sl = _class_slice(t, ci)
@@ -473,33 +572,50 @@ def _refine_cpmvs(spec, t, cpmvs, M, rhs, cu_w, cu_h, abs_x, abs_y):
     return jnp.stack([nx, ny], axis=-1)
 
 
-def _stage_run(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat, lam,
-               prev_cpmvs):
-    abs_x = jnp.asarray(t.abs_x)
-    abs_y = jnp.asarray(t.abs_y)
-    within_j = jnp.asarray(t.within)
-    cu_w = jnp.asarray(t.cu_w)
-    cu_h = jnp.asarray(t.cu_h)
+def prep_inputs(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat):
+    """Frame-global device prep: (tiles, orig16, ref_pl), all CTU-leading.
 
-    refpad = warp_ops.build_refpad(
-        ref_flat, spec.frame_w, spec.frame_h, t.n_ctu_y, t.n_ctu_x)
+    Runs once per stage invocation BEFORE any CTU sharding — the outputs
+    lead with the CTU axis, so the sharding layer pads/shards them directly.
+    """
+    tiles = warp_ops.build_tiles(
+        warp_ops.build_refpad(
+            ref_flat, spec.frame_w, spec.frame_h, t.n_ctu_y, t.n_ctu_x),
+        t.n_ctu_y, t.n_ctu_x)
     # orig as per-CTU 4x4-block planes (zero padding; only within-CUs used)
     oh = 128 * t.n_ctu_y
     ow = 128 * t.n_ctu_x
-    orig2d = jnp.pad(
-        orig_flat.reshape(spec.frame_h, spec.frame_w),
-        ((0, oh - spec.frame_h), (0, ow - spec.frame_w)))
-    orig_pl = orig2d.reshape(t.n_ctu_y, 128, t.n_ctu_x, 128)
-    orig_pl = orig_pl.transpose(0, 2, 1, 3).reshape(t.n_ctus, 128, 128)
-    orig16 = _blocks16(orig_pl)
-    ref2d = jnp.pad(
-        ref_flat.reshape(spec.frame_h, spec.frame_w),
-        ((0, oh - spec.frame_h), (0, ow - spec.frame_w)))
-    ref_pl = ref2d.reshape(t.n_ctu_y, 128, t.n_ctu_x, 128)
-    ref_pl = ref_pl.transpose(0, 2, 1, 3).reshape(t.n_ctus, 128, 128)
+
+    def to_planes(flat):
+        p2d = jnp.pad(
+            flat.reshape(spec.frame_h, spec.frame_w),
+            ((0, oh - spec.frame_h), (0, ow - spec.frame_w)))
+        pl_ = p2d.reshape(t.n_ctu_y, 128, t.n_ctu_x, 128)
+        return pl_.transpose(0, 2, 1, 3).reshape(t.n_ctus, 128, 128)
+
+    return tiles, _blocks16(to_planes(orig_flat)), to_planes(ref_flat)
+
+
+def dyn_tables(t: PlaneTables) -> DynTables:
+    return DynTables(
+        abs_x=jnp.asarray(t.abs_x), abs_y=jnp.asarray(t.abs_y),
+        within=jnp.asarray(t.within),
+        ctu_x=jnp.asarray(t.ctu_x), ctu_y=jnp.asarray(t.ctu_y))
+
+
+def _stage_core(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
+                tiles, orig16, ref_pl, lam, prev_cpmvs):
+    """The iteration loop over (possibly CTU-sharded) local arrays.
+
+    Returns (best_cost, best_cpmvs, telem).  Every per-CTU input leads with
+    the same (local) CTU count; ref_flat/lam are frame-global (replicated).
+    """
+    abs_x, abs_y, within_j = dyn.abs_x, dyn.abs_y, dyn.within
+    cu_w = jnp.asarray(t.cu_w)
+    cu_h = jnp.asarray(t.cu_h)
 
     curr = _init_cpmvs(spec, t, prev_cpmvs, abs_x, abs_y)
-    best_cost = jnp.full((t.n_ctus, t.n_cus), C.MAX_LONG, jnp.int64)
+    best_cost = jnp.full((curr.shape[0], t.n_cus), C.MAX_LONG, jnp.int64)
     best_cp = jnp.zeros_like(curr)
 
     def cost_of(cpmvs, satd):
@@ -511,16 +627,22 @@ def _stage_run(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat, lam,
         return (jnp.where(better, cost, best_cost),
                 jnp.where(better[..., None, None], curr, best_cp))
 
+    def add_telem(a: EvalTelemetry, b: EvalTelemetry) -> EvalTelemetry:
+        return EvalTelemetry(a.n_escapes + b.n_escapes,
+                             jnp.maximum(a.max_groups, b.max_groups),
+                             a.n_fallbacks + b.n_fallbacks)
+
     def body(carry, _):
-        curr, best_cost, best_cp = carry
-        satd, M, rhs = _evaluate(
-            spec, t, ref_flat, refpad, orig16, curr, within_j, True)
+        curr, best_cost, best_cp, telem = carry
+        satd, M, rhs, tm = _evaluate(
+            spec, t, dyn, ref_flat, tiles, orig16, curr, True)
         cost = cost_of(curr, satd)
         best_cost, best_cp = update_best(curr, cost, best_cost, best_cp)
         curr = _refine_cpmvs(spec, t, curr, M, rhs, cu_w, cu_h, abs_x, abs_y)
-        return (curr, best_cost, best_cp), None
+        return (curr, best_cost, best_cp, add_telem(telem, tm)), None
 
     n_iters = spec.num_gradient_iters
+    telem = _zero_telem()
     if spec.n_cp == 2:
         # iteration 0 in closed form (zero CPMVs)
         satd, M, rhs = _evaluate_zero(spec, t, ref_pl, orig16, within_j, True)
@@ -529,26 +651,40 @@ def _stage_run(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat, lam,
         curr = _refine_cpmvs(spec, t, curr, M, rhs, cu_w, cu_h, abs_x, abs_y)
         n_iters -= 1
 
-    (curr, best_cost, best_cp), _ = lax.scan(
-        body, (curr, best_cost, best_cp), None, length=n_iters)
-    satd, _, _ = _evaluate(
-        spec, t, ref_flat, refpad, orig16, curr, within_j, False)
+    (curr, best_cost, best_cp, telem), _ = lax.scan(
+        body, (curr, best_cost, best_cp, telem), None, length=n_iters)
+    satd, _, _, tm = _evaluate(
+        spec, t, dyn, ref_flat, tiles, orig16, curr, False)
+    telem = add_telem(telem, tm)
     cost = cost_of(curr, satd)
     best_cost, best_cp = update_best(curr, cost, best_cost, best_cp)
-    return best_cost, best_cp
+    return best_cost, best_cp, telem
+
+
+def _stage_run(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat, lam,
+               prev_cpmvs):
+    tiles, orig16, ref_pl = prep_inputs(spec, t, ref_flat, orig_flat)
+    cost, cp, _ = _stage_core(spec, t, dyn_tables(t), ref_flat, tiles,
+                              orig16, ref_pl, lam, prev_cpmvs)
+    return cost, cp
 
 
 @functools.lru_cache(maxsize=None)
-def build_stage(spec: PlaneSpec):
+def build_stage(spec: PlaneSpec, telemetry: bool = False):
     """Compile a dense-engine stage; same contract as affine_me.build_stage:
     fn(ref_flat_i32, orig_flat_i32, lam_f32, prev_cpmvs) ->
     (best_cost int64 [nCtu, nCU], best_cpmvs int32 [nCtu, nCU, 3, 2]),
-    canonical class order."""
+    canonical class order.  With telemetry=True a third output carries the
+    EvalTelemetry escape counters."""
     tables = build_tables(spec)
 
     @jax.jit
     def run(ref_flat, orig_flat, lam, prev_cpmvs):
-        return _stage_run(spec, tables, ref_flat, orig_flat, lam, prev_cpmvs)
+        tiles, orig16, ref_pl = prep_inputs(spec, tables, ref_flat, orig_flat)
+        cost, cp, telem = _stage_core(
+            spec, tables, dyn_tables(tables), ref_flat, tiles, orig16,
+            ref_pl, lam, prev_cpmvs)
+        return (cost, cp, telem) if telemetry else (cost, cp)
 
     return run
 

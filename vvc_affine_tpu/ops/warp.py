@@ -10,14 +10,18 @@ vector work over per-class 128x128 CTU planes:
   rather than control flow), constant within each 4x4 block;
 * `warp_xla`: exact reference path — clamped window gather + separable
   filter — valid for ANY displacement; the escape fallback and CPU oracle;
-* `warp_pallas`: the fast path — a Mosaic kernel that keeps the padded
-  reference plane in VMEM and resolves displacements with masked selects:
+* `warp_pallas`: the fast path — a Mosaic kernel over per-CTU reference
+  tiles (176x256 int16, built once per evaluate by `build_tiles` from pure
+  reshape/concat ops) that resolves displacements with masked selects:
   the horizontal filter and dx-select fuse into one coefficient field
   (HMASK[s, x] = hc[s - dx(x) + 3][x], so sum_s slab[., x+s]*HMASK[s, x]
   IS the horizontally-filtered sample at x's own displaced window), and the
-  vertical displacement resolves with 2R+1 masked row selects.  Exact for
-  |dy|,|dx| <= R; the caller cond-falls-back to warp_xla when any block
-  escapes.
+  vertical displacement resolves with a radix-4 masked row select.  Exact
+  for |dy|,|dx| <= R; the caller cond-falls-back to warp_xla when any block
+  escapes.  Tiles (not the whole padded plane) keep VMEM flat in the frame
+  area — 4K runs in the same ~0.4 MB VMEM footprint per grid step — and
+  give the kernel a flat CTU leading grid axis, which is the sharding axis
+  (parallel.mesh).
 
 Bit-exactness: both paths reproduce VTM's first/last-pass offset/shift
 scheme exactly in int32 (aux_functions.cl:1121-1195); the padded plane's
@@ -42,7 +46,17 @@ from vvc_affine_tpu.utils.bitmath import clamp
 
 NB = 32      # 4x4 block slots per CTU axis
 PAD = 64     # refpad top/left padding
-MAX_R = 16   # slab geometry supports |displacement| bound R up to this
+MAX_R = 16   # tile geometry supports |displacement| bound R up to this
+
+# Per-CTU reference tile geometry: tile[i] = refpad[128 ty + PAD - TILE_TOP :
+# + TILE_H, 128 tx : + TILE_W] for CTU i = ty * n_ctu_x + tx, so CTU sample
+# (r, c) sits at tile (r + TILE_TOP, c + TILE_LEFT).  Row reach per 4x4 block
+# at block-row by with |dy| <= R is [4 by - R - 3, 4 by + R + 12); column
+# reach is [c - R - 3, c + R + 5) — both inside the tile for R <= MAX_R.
+TILE_TOP = 24
+TILE_LEFT = PAD
+TILE_H = 176
+TILE_W = 256
 
 _SHIFT1 = C.IF_FILTER_PREC - 4                    # 2
 _OFF1 = -C.IF_INTERNAL_OFFS << _SHIFT1
@@ -129,18 +143,43 @@ def warp_xla(ref_flat, frame_w: int, frame_h: int, ctu_y, ctu_x,
 # Pallas fast path
 # ---------------------------------------------------------------------------
 
+def build_tiles(refpad, n_ctu_y: int, n_ctu_x: int):
+    """Per-CTU reference tiles int16 [nCtu, TILE_H, TILE_W] from refpad.
+
+    tile[ty*n_ctu_x+tx] = refpad[128 ty + PAD - TILE_TOP : + TILE_H,
+    128 tx : + TILE_W].  The overlapping extraction is pure reshapes +
+    concats (two shifted row copies, two shifted column copies) — no
+    gathers, no conv patches.
+    """
+    hp, wp = refpad.shape
+    ny, nx = n_ctu_y, n_ctu_x
+    r0 = PAD - TILE_TOP                                # 40
+    # rows: A = tile rows [0, 128), B = tile rows [128, TILE_H)
+    need = r0 + 128 + 128 * ny
+    rp = jnp.pad(refpad, ((0, max(0, need - hp)), (0, 0)))
+    A = rp[r0:r0 + 128 * ny].reshape(ny, 128, wp)
+    B = rp[r0 + 128:r0 + 128 + 128 * ny].reshape(ny, 128, wp)
+    band = jnp.concatenate([A, B[:, :TILE_H - 128]], axis=1)  # [ny, TILE_H, wp]
+    # cols: wp == 128 nx + 128 exactly (refpad_shape)
+    L = band[:, :, 0:128 * nx].reshape(ny, TILE_H, nx, 128)
+    Rr = band[:, :, 128:128 + 128 * nx].reshape(ny, TILE_H, nx, 128)
+    tiles = jnp.concatenate([L, Rr], axis=-1)          # [ny, TILE_H, nx, 256]
+    return tiles.transpose(0, 2, 1, 3).reshape(ny * nx, TILE_H, TILE_W)
+
+
 def _warp_kernel(R: int):
-    NS = 2 * R + 14          # HMASK support: s = dx + t - 3 in [-R-3, R+10]
+    NS = 2 * R + 8           # HMASK support: s = dx + t - 3 in [-R-3, R+4]
     S0 = -(R + 3)
     NR = 2 * R + 14          # candidate rows (padded for the radix-4 select)
+    SLAB_H = -(-(R + 39) // 8) * 8   # max row touched: RLO(j=1) + NR = R+39
 
-    def kernel(act_ref, dy_ref, dx_ref, hc_ref, vc_ref, ref_ref, out_ref,
+    def kernel(act_ref, dy_ref, dx_ref, hc_ref, vc_ref, tile_ref, out_ref,
                rows8):
-        def slab_body(k, yk, xk):
-            # slab k covers refpad rows [128 ty + PAD - 24 + 8k, +56)
+        def slab_body(k):
+            # slab k (block rows 2k, 2k+1) reads tile rows [8k, 8k+SLAB_H)
             # (body predicated off for slabs with no valid blocks in this
             # bin — 23% of half-aligned slabs; consumers mask those slots)
-            slab = ref_ref[pl.ds(yk, 56), pl.ds(xk, 256)].astype(jnp.int32)
+            slab = tile_ref[0, 8 * k:8 * k + SLAB_H, :].astype(jnp.int32)
 
             for j in range(2):
                 sy = 2 * k + j
@@ -160,12 +199,13 @@ def _warp_kernel(R: int):
                     hmask = jnp.where(tsel == t, hct, hmask)
 
                 # ---- Ht: horizontal filter at all candidate rows ----
-                # candidate rows rel slab: [4j + 21 - R, 4j + 31 + R)
+                # candidate rows rel slab: [4j + 21 - R, 4j + 35 + R)
                 RLO = 4 * j + 21 - R
                 ht = jnp.zeros((NR, 128), jnp.int32)
                 for si in range(NS):
                     s = S0 + si
-                    seg = slab[RLO:RLO + NR, 64 + s:64 + s + 128]
+                    seg = slab[RLO:RLO + NR,
+                               TILE_LEFT + s:TILE_LEFT + s + 128]
                     ht = ht + seg * hmask[si:si + 1, :]
                 ht = (ht + _OFF1) >> _SHIFT1
 
@@ -202,40 +242,33 @@ def _warp_kernel(R: int):
         # (infinite _convert_helper recursion, jax 0.9.0); the static form
         # also gives Mosaic compile-time slab addresses.
         for k in range(16):
-            # program_id stays outside the predicate (interpret mode can't
-            # lower it inside the when-branch)
-            yk = pl.multiple_of(
-                128 * pl.program_id(0) + (PAD - 24) + 8 * k, 8)
-            xk = pl.multiple_of(128 * pl.program_id(1), 128)
-
             @pl.when(act_ref[0, 0, k] != 0)
-            def _(k=k, yk=yk, xk=xk):
-                slab_body(k, yk, xk)
+            def _(k=k):
+                slab_body(k)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _warp_pallas_fn(n_ctu_y: int, n_ctu_x: int, n_cls: int, R: int,
-                    interpret: bool):
+def _warp_pallas_fn(n_ctu: int, n_cls: int, R: int, interpret: bool):
     if not 1 <= R <= MAX_R:
         raise ValueError(f"R must be in [1, {MAX_R}]")
-    hp, wp = refpad_shape(n_ctu_y, n_ctu_x)
-    n_ctu = n_ctu_y * n_ctu_x
     kernel = _warp_kernel(R)
 
-    def im_act(ty, tx, c):
+    def im_act(i, c):
         return (c, 0, 0)
 
-    def im_blk(ty, tx, c):
-        return (ty * n_ctu_x + tx, c, 0, 0)
+    def im_blk(i, c):
+        return (i, c, 0, 0)
 
-    def im_tap(ty, tx, c):
-        return (ty * n_ctu_x + tx, c, 0, 0, 0)
+    def im_tap(i, c):
+        return (i, c, 0, 0, 0)
 
+    # grid iterates classes fastest, so the (class-independent) tile block
+    # is fetched once per CTU and reused across all n_cls steps
     return pl.pallas_call(
         kernel,
-        grid=(n_ctu_y, n_ctu_x, n_cls),
+        grid=(n_ctu, n_cls),
         out_shape=jax.ShapeDtypeStruct((n_ctu, n_cls, 128, 128), jnp.int16),
         in_specs=[
             pl.BlockSpec((1, 1, 16), im_act, memory_space=pltpu.SMEM),
@@ -243,11 +276,11 @@ def _warp_pallas_fn(n_ctu_y: int, n_ctu_x: int, n_cls: int, R: int,
             pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, NB, 128), im_tap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, NB, 128), im_tap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, wp), lambda ty, tx, c: (0, 0),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 128, 128), lambda ty, tx, c: (ty * n_ctu_x + tx, c, 0, 0),
+            (1, 1, 128, 128), lambda i, c: (i, c, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.int16)],
         compiler_params=pltpu.CompilerParams(
@@ -261,21 +294,21 @@ def expand_lanes(plane):
     return jnp.repeat(plane, 4, axis=-1)
 
 
-def warp_pallas(refpad, dy_l, dx_l, hc_l, vc_l, n_ctu_y: int, n_ctu_x: int,
-                R: int = 8, interpret: bool = False, slab_active=None):
+def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
+                interpret: bool = False, slab_active=None):
     """Fast dense warp; exact iff all |dy|,|dx| <= R.
 
-    refpad: int16 [Hp, Wp] from build_refpad; dy_l/dx_l: int32
+    tiles: int16 [nCtu, TILE_H, TILE_W] from build_tiles; dy_l/dx_l: int32
     [nCtu, nCls, NB, 128] (lane-expanded, see expand_lanes); hc_l/vc_l:
     int32 [nCtu, nCls, 8, NB, 128]; slab_active: optional int32
     [nCls, 1, 16] per-(class, 8-row slab) work mask (planes with no valid
     blocks in a slab skip it; their output rows are unspecified).
     Returns int32 [nCtu, nCls, 128, 128].
     """
-    n_cls = dy_l.shape[1]
+    n_ctu, n_cls = dy_l.shape[:2]
     if slab_active is None:
         slab_active = jnp.ones((n_cls, 1, 16), jnp.int32)
-    fn = _warp_pallas_fn(n_ctu_y, n_ctu_x, n_cls, R, interpret)
+    fn = _warp_pallas_fn(n_ctu, n_cls, R, interpret)
     # Trace the kernel with x64 semantics off: the package enables
     # jax_enable_x64 globally (the VTM solver needs f64), which leaks i64
     # loop counters / literals into the kernel, and i64 inside a Mosaic
@@ -283,7 +316,7 @@ def warp_pallas(refpad, dy_l, dx_l, hc_l, vc_l, n_ctu_y: int, n_ctu_x: int,
     # func.return legalization failures, jax 0.9.0).  All kernel dtypes are
     # explicit, so semantics are unchanged.
     with jax.enable_x64(False):
-        out = fn(slab_active, dy_l, dx_l, hc_l, vc_l, refpad)
+        out = fn(slab_active, dy_l, dx_l, hc_l, vc_l, tiles)
     return out.astype(jnp.int32)
 
 
