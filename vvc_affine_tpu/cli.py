@@ -26,7 +26,17 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native VVC Affine Motion Estimation engine",
     )
     p.add_argument("--DeviceIndex", type=int, default=0,
-                   help="Index of the accelerator device")
+                   help="Index of the accelerator device (main.cpp:154-216)")
+    p.add_argument("--NumChips", type=int, default=1,
+                   help="Shard the CTU axis over this many devices "
+                        "(TPU-native extension; 1 = single device)")
+    p.add_argument("--Coordinator", type=str, default="",
+                   help="host:port of the jax.distributed coordinator "
+                        "(multi-host runs; one CLI invocation per host)")
+    p.add_argument("--NumProcesses", type=int, default=1,
+                   help="Total process count of the multi-host run")
+    p.add_argument("--ProcessId", type=int, default=0,
+                   help="This process's rank in the multi-host run")
     p.add_argument("-q", "--QP", type=int, required=True,
                    help="Quantization parameter")
     p.add_argument("-f", "--FramesToBeEncoded", type=int, required=True,
@@ -46,10 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable GOP-level checkpoint/resume in this directory")
     p.add_argument("--MemoryReport", action="store_true",
                    help="print the device-buffer footprint table")
+    p.add_argument("--DeviceTrace", type=str, default="",
+                   help="write a ~1ms in-process device activity trace CSV "
+                        "(join with tools/energy_report.py)")
     p.add_argument("--SkipFull", action="store_true",
                    help="Skip aligned-CU prediction")
     p.add_argument("--SkipHalf", action="store_true",
                    help="Skip half-aligned-CU prediction")
+    p.add_argument("--Engine", choices=("plane", "gather"), default="plane",
+                   help="Compute engine: dense plane (fast) or gather "
+                        "(reference-shaped); outputs are bit-identical")
     return p
 
 
@@ -62,6 +78,37 @@ def main(argv=None) -> int:
         return 1
     n = args.FramesToBeEncoded
 
+    device = None
+    mesh = None
+    primary = True
+    if args.Coordinator:
+        from vvc_affine_tpu.runtime import distributed as dist
+
+        dist.initialize(args.Coordinator, args.NumProcesses, args.ProcessId)
+        mesh = dist.global_mesh()
+        primary = dist.is_primary()
+    elif args.NumChips > 1:
+        import jax
+
+        from vvc_affine_tpu.parallel import mesh as pmesh
+
+        devs = jax.devices()
+        if len(devs) < args.NumChips:
+            print(f"Need {args.NumChips} devices, have {len(devs)}",
+                  file=sys.stderr)
+            return 1
+        mesh = pmesh.make_mesh(devs[args.DeviceIndex:
+                                    args.DeviceIndex + args.NumChips])
+    elif args.DeviceIndex:
+        import jax
+
+        devs = jax.devices()
+        if args.DeviceIndex >= len(devs):
+            print(f"DeviceIndex {args.DeviceIndex} out of range "
+                  f"({len(devs)} devices)", file=sys.stderr)
+            return 1
+        device = devs[args.DeviceIndex]
+
     timing = reporting.Timing()
     timing.stamp("START HOST")
 
@@ -72,29 +119,50 @@ def main(argv=None) -> int:
 
     prefix = args.CpmvLogFile or None
     ckpt = None
-    if args.CheckpointDir:
+    if args.CheckpointDir and primary:
         from vvc_affine_tpu.runtime.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(args.CheckpointDir, prefix)
-    if prefix and (ckpt is None or ckpt.completed_poc() == 0):
+    if prefix and primary and (ckpt is None or ckpt.completed_poc() == 0):
         reporting.remove_old_traces(prefix)
 
     cfg = PipelineConfig(
         frame_w=w, frame_h=h, qp=args.QP, extra_iters=args.ExtraGradientIter,
         test_full=not args.SkipFull, test_half=not args.SkipHalf,
+        device=device, mesh=mesh, engine=args.Engine,
     )
     pipe = AffineMEPipeline(cfg)
 
     def on_result(r):
-        if prefix or args.ReportToTerminal:
-            print(f"Reporting results POC={r.poc} refIdx={r.ref_idx} "
-                  f"PredType={r.pred}")
-            reporting.report_results(
-                prefix, r.pred, w, np.asarray(r.costs), np.asarray(r.cpmvs),
-                r.poc, r.ref_idx, to_terminal=args.ReportToTerminal,
-            )
+        if not (prefix or args.ReportToTerminal):
+            return
+        if args.Coordinator:
+            from vvc_affine_tpu.runtime import distributed as dist
 
-    pipe.encode(orig, ref, on_result=on_result, timing=timing, checkpoint=ckpt)
+            costs = dist.gather_to_host(r.costs)
+            cpmvs = dist.gather_to_host(r.cpmvs)
+            if not primary:   # process 0 owns the decision logs
+                return
+        else:
+            costs = np.asarray(r.costs)
+            cpmvs = np.asarray(r.cpmvs)
+        print(f"Reporting results POC={r.poc} refIdx={r.ref_idx} "
+              f"PredType={r.pred}")
+        reporting.report_results(
+            prefix, r.pred, w, costs, cpmvs,
+            r.poc, r.ref_idx, to_terminal=args.ReportToTerminal,
+        )
+
+    tracer = None
+    if args.DeviceTrace:
+        tracer = reporting.DeviceTraceSampler(args.DeviceTrace)
+        tracer.start()
+    try:
+        pipe.encode(orig, ref, on_result=on_result, timing=timing,
+                    checkpoint=ckpt)
+    finally:
+        if tracer is not None:
+            tracer.stop()
     if args.MemoryReport:
         print(reporting.memory_report(w, h))
     timing.report(n)

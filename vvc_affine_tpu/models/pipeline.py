@@ -36,7 +36,9 @@ class PipelineConfig:
     test_full: bool = True
     test_half: bool = True
     device: Optional[jax.Device] = None
-    shardings: Optional[dict] = None   # see parallel.mesh.stage_shardings
+    # multi-chip: a jax.sharding.Mesh with a 'ctu' axis; stages are built
+    # CTU-sharded over it (parallel.mesh) and outputs stay bit-identical
+    mesh: Optional[object] = None
     # 'plane' = dense gather-free engine (models.affine_plane, the fast
     # path); 'gather' = the original merged-group engine (models.affine_me).
     # Outputs are bit-identical.
@@ -66,24 +68,93 @@ class AffineMEPipeline:
                     pspec = affine_plane.PlaneSpec(
                         mode, n_cp, cfg.frame_w, cfg.frame_h, cfg.extra_iters
                     )
-                    self.stages[(mode, n_cp)] = affine_plane.build_stage(pspec)
+                    # telemetry: escape-budget counters ride along and feed
+                    # the timing report (VERDICT: budget observability)
+                    if cfg.mesh is not None:
+                        from vvc_affine_tpu.parallel import mesh as pmesh
+
+                        self.stages[(mode, n_cp)] = \
+                            pmesh.build_plane_stage_sharded(
+                                pspec, cfg.mesh, telemetry=True)
+                    else:
+                        self.stages[(mode, n_cp)] = \
+                            affine_plane.build_stage(pspec, telemetry=True)
                 else:
                     spec = affine_me.StageSpec(
                         mode, n_cp, cfg.frame_w, cfg.frame_h, cfg.extra_iters
                     )
-                    self.stages[(mode, n_cp)] = affine_me.build_stage(spec)
+                    if cfg.mesh is not None:
+                        from vvc_affine_tpu.parallel import mesh as pmesh
+
+                        self.stages[(mode, n_cp)] = \
+                            pmesh.build_stage_sharded(spec, cfg.mesh)
+                    else:
+                        self.stages[(mode, n_cp)] = affine_me.build_stage(spec)
+        # replicated over the mesh: under a multi-host mesh every stage
+        # input must be a global array (local arrays cannot cross into a
+        # mesh-sharded jit)
         self._zeros = {
-            mode: affine_me.zero_cpmvs(
-                affine_me.StageSpec(mode, 2, cfg.frame_w, cfg.frame_h)
-            )
+            mode: self._put_repl(np.asarray(affine_me.zero_cpmvs(
+                affine_me.StageSpec(mode, 2, cfg.frame_w, cfg.frame_h))))
             for mode in ("full", "half")
         }
 
-    def _put(self, frame: np.ndarray) -> jnp.ndarray:
-        flat = jnp.asarray(np.ascontiguousarray(frame, np.int32).ravel())
+    PRED_LABEL = ("FULL_2CP", "FULL_3CP", "HALF_2CP", "HALF_3CP")
+
+    def _run_stage(self, key, pred, poc, ref_idx, ref_dev, orig_dev, lam,
+                   prev, timing):
+        """One stage dispatch with real per-pred timing.
+
+        With timing enabled, the dispatch is bracketed by START/FINISHED
+        EXEC stamps per (pred, refIdx, POC) and closed by a device->host
+        scalar fetch — the analogue of the reference's per-kernel event
+        profiling + exec-phase timestamps (main.cpp:764-955, 862-866).  A
+        full-output fetch would serialize PCIe readback into the timing;
+        the scalar reduction only waits for execution.  Without timing the
+        dispatch stays fully async.
+        """
+        if timing is None:
+            out = self.stages[key](ref_dev, orig_dev, lam, prev)
+            return out[0], out[1]
+        import time as _time
+
+        label = f"EXEC {self.PRED_LABEL[pred]} POC {poc} ref {ref_idx}"
+        timing.stamp(f"START {label}")
+        t0 = _time.time()
+        out = self.stages[key](ref_dev, orig_dev, lam, prev)
+        cost, cp = out[0], out[1]
+        # block_until_ready is a no-op on the tunnelled TPU platform; a
+        # device->host fetch is the only reliable execution barrier
+        np.asarray(cost.sum())
+        t1 = _time.time()
+        timing.stamp(f"FINISHED {label}")
+        timing.add(pred, t1 - t0)
+        if len(out) == 3 and hasattr(timing, "add_escapes"):
+            telem = out[2]
+            timing.add_escapes(int(np.asarray(telem.n_escapes)),
+                               int(np.asarray(telem.max_groups)),
+                               int(np.asarray(telem.n_fallbacks)))
+        return cost, cp
+
+    def _put_repl(self, x) -> jnp.ndarray:
+        """Replicate a (host-identical) value over the mesh / device.
+
+        Multi-host: every process stages the same frame bytes, so the
+        replicated global array needs no cross-host transfer beyond XLA's
+        bookkeeping — this is the DCN-once-per-frame staging of SURVEY 2.4.
+        """
+        if self.cfg.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(
+                x, NamedSharding(self.cfg.mesh, PartitionSpec()))
         if self.cfg.device is not None:
-            flat = jax.device_put(flat, self.cfg.device)
-        return flat
+            return jax.device_put(x, self.cfg.device)
+        return jnp.asarray(x)
+
+    def _put(self, frame: np.ndarray) -> jnp.ndarray:
+        return self._put_repl(
+            np.ascontiguousarray(frame, np.int32).reshape(-1))
 
     def encode(
         self,
@@ -111,7 +182,7 @@ class AffineMEPipeline:
         for curr in range(n_frames):
             poc = curr + 1
             num_refs = min(C.MAX_REFS, poc)
-            lam = jnp.float32(C.lambda_for(cfg.qp, poc))
+            lam = self._put_repl(np.float32(C.lambda_for(cfg.qp, poc)))
 
             # reference list update: recon frame (poc-1) enters slot 0
             frames_by_poc[poc - 1] = self._put(ref_frames[curr])
@@ -139,18 +210,12 @@ class AffineMEPipeline:
                 for mode, base in (("full", PRED_FULL_2CP), ("half", PRED_HALF_2CP)):
                     if (mode, 2) not in self.stages:
                         continue
-                    import time as _time
-
-                    t0 = _time.time()
-                    cost2, cp2 = self.stages[(mode, 2)](
-                        ref_dev, orig_dev, lam, self._zeros[mode]
-                    )
-                    cost3, cp3 = self.stages[(mode, 3)](ref_dev, orig_dev, lam, cp2)
-                    if timing is not None:
-                        cost3.block_until_ready()
-                        t1 = _time.time()
-                        timing.add(base, (t1 - t0) / 2)
-                        timing.add(base + 1, (t1 - t0) / 2)
+                    cost2, cp2 = self._run_stage(
+                        (mode, 2), base, poc, ref_idx,
+                        ref_dev, orig_dev, lam, self._zeros[mode], timing)
+                    cost3, cp3 = self._run_stage(
+                        (mode, 3), base + 1, poc, ref_idx,
+                        ref_dev, orig_dev, lam, cp2, timing)
                     per_ref.append(StageResult(poc, ref_idx, base, cost2, cp2))
                     per_ref.append(StageResult(poc, ref_idx, base + 1, cost3, cp3))
                 for r in per_ref:

@@ -1,20 +1,27 @@
 """Multi-chip scaling: CTU-axis data parallelism over a device mesh.
 
 The reference is strictly single-device (five in-order OpenCL queues,
-main.cpp:229-242); its only scaling axis is the per-launch work-group count.
-The TPU engine scales the same axis — CTUs — across chips instead:
+main.cpp:229-242); its only scaling axis is the per-launch work-group count
+(one WG per (CTU, size), main.cpp:757,890).  The TPU engine scales the same
+axis — CTUs — across chips instead:
 
   * every stage tensor leads with the CTU dimension and is sharded over a 1-D
     ``jax.sharding.Mesh`` axis 'ctu';
   * reference/original planes are small (4 MB at 1080p) and replicated, so
-    the clamped window gathers never cross shards and XLA inserts **no**
-    collectives in the iteration loop — linear scaling by construction;
+    per-shard reference tiles / clamped window gathers never cross shards and
+    XLA inserts **no** collectives in the iteration loop — linear scaling by
+    construction;
   * the CTU axis is padded with deterministic out-of-frame CTUs to a multiple
     of the mesh size; the pads are sliced off after the run.
 
+Both engines shard this way: ``build_plane_stage_sharded`` (the shipping
+dense/Pallas engine — frame-global prep runs replicated, then the whole
+iteration loop runs under ``jax.shard_map`` on per-shard CTU tiles) and
+``build_stage_sharded`` (the gather engine, plain GSPMD constraints).
+
 Multi-host: the same mesh spans hosts (jax.distributed), frames are
 replicated per host over DCN once per GOP, and decision-log readback is a
-process-0 gather of the sharded result arrays.
+process-0 gather of the sharded result arrays (runtime.distributed).
 """
 
 from __future__ import annotations
@@ -26,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vvc_affine_tpu.models import affine_me
+from vvc_affine_tpu import geometry as G
+from vvc_affine_tpu.models import affine_me, affine_plane
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -71,6 +79,95 @@ def build_stage_sharded(spec: affine_me.StageSpec, mesh: Mesh):
             pad = n_pad - prev_cpmvs.shape[0]
             prev_cpmvs = jnp.pad(prev_cpmvs, ((0, pad), (0, 0), (0, 0), (0, 0)))
         cost, cp = run_padded(ref_flat, orig_flat, lam, prev_cpmvs)
+        return cost[:n_ctus], cp[:n_ctus]
+
+    return run
+
+
+def _padded_dyn_tables(spec: affine_plane.PlaneSpec, t, n_pad: int):
+    """DynTables (numpy) padded to ``n_pad`` CTUs.
+
+    Padding CTUs sit at (frame_w, frame_h): every padded CU fails the
+    in-frame test and takes the deterministic zero-motion/zero-system path
+    (same convention as affine_me.build_tables(n_ctu_pad)).
+    """
+    lay = G.layout(spec.mode)
+    pad = n_pad - t.n_ctus
+    ctu_x = np.concatenate(
+        [t.ctu_x, np.full(pad, spec.frame_w, np.int32)])
+    ctu_y = np.concatenate(
+        [t.ctu_y, np.full(pad, spec.frame_h, np.int32)])
+    abs_x = ctu_x[:, None] + lay.cu_x[None, :].astype(np.int32)
+    abs_y = ctu_y[:, None] + lay.cu_y[None, :].astype(np.int32)
+    within = (abs_x + lay.cu_w[None, :] <= spec.frame_w) & (
+        abs_y + lay.cu_h[None, :] <= spec.frame_h)
+    return affine_plane.DynTables(
+        abs_x=jnp.asarray(abs_x.astype(np.int32)),
+        abs_y=jnp.asarray(abs_y.astype(np.int32)),
+        within=jnp.asarray(within),
+        ctu_x=jnp.asarray(ctu_x), ctu_y=jnp.asarray(ctu_y))
+
+
+def build_plane_stage_sharded(spec: affine_plane.PlaneSpec, mesh: Mesh,
+                              telemetry: bool = False):
+    """Compile a dense-engine (plane/Pallas) stage sharded over ``mesh``.
+
+    Same contract as affine_plane.build_stage: fn(ref_flat, orig_flat, lam,
+    prev_cpmvs[nCtu,...]) -> (cost, cpmvs) in true (unpadded) CTU counts,
+    bit-identical to the single-device stage.  Frame-global prep (refpad ->
+    per-CTU tiles, orig block planes) runs replicated; the whole iteration
+    loop runs under shard_map with each device owning a contiguous block of
+    the flat CTU axis — no collectives anywhere in the loop.
+    """
+    n_dev = mesh.devices.size
+    t = affine_plane.build_tables(spec)
+    n_ctus = t.n_ctus
+    n_pad = _pad_to(n_ctus, n_dev)
+    pad = n_pad - n_ctus
+    dyn_padded = _padded_dyn_tables(spec, t, n_pad)
+
+    ctu = P("ctu")
+    repl = P()
+
+    def local_fn(dyn_l, tiles_l, orig16_l, ref_pl_l, prev_l, ref_flat, lam):
+        cost, cp, telem = affine_plane._stage_core(
+            spec, t, dyn_l, ref_flat, tiles_l, orig16_l, ref_pl_l, lam,
+            prev_l)
+        telem = affine_plane.EvalTelemetry(
+            jax.lax.psum(telem.n_escapes, "ctu"),
+            jax.lax.pmax(telem.max_groups, "ctu"),
+            jax.lax.psum(telem.n_fallbacks, "ctu"))
+        return cost, cp, telem
+
+    # check_vma off: the scan carry inits (best_cost full, telem zeros) are
+    # replicated-typed constants that become CTU-varying through the body;
+    # that is the intended dataflow, not a replication bug.
+    sharded = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(ctu, ctu, ctu, ctu, ctu, repl, repl),
+        out_specs=(ctu, ctu, repl),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run_padded(ref_flat, orig_flat, lam, prev_padded):
+        tiles, orig16, ref_pl = affine_plane.prep_inputs(
+            spec, t, ref_flat, orig_flat)
+        if pad:
+            tiles = jnp.pad(tiles, ((0, pad), (0, 0), (0, 0)))
+            orig16 = jnp.pad(orig16, ((0, pad),) + ((0, 0),) * 3)
+            ref_pl = jnp.pad(ref_pl, ((0, pad), (0, 0), (0, 0)))
+        return sharded(dyn_padded, tiles, orig16, ref_pl, prev_padded,
+                       ref_flat, lam)
+
+    def run(ref_flat, orig_flat, lam, prev_cpmvs):
+        if prev_cpmvs.shape[0] < n_pad:
+            p_ = n_pad - prev_cpmvs.shape[0]
+            prev_cpmvs = jnp.pad(prev_cpmvs,
+                                 ((0, p_), (0, 0), (0, 0), (0, 0)))
+        cost, cp, telem = run_padded(ref_flat, orig_flat, lam, prev_cpmvs)
+        if telemetry:
+            return cost[:n_ctus], cp[:n_ctus], telem
         return cost[:n_ctus], cp[:n_ctus]
 
     return run
