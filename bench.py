@@ -21,28 +21,32 @@ import numpy as np
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
 FW, FH = 1920, 1080
+FW4K, FH4K = 3840, 2160
 N_WARMUP = 1
 N_ITERS = 2
 
 
-def synth_frames():
+def synth_frames(fw=FW, fh=FH):
     rng = np.random.default_rng(2024)
-    yy, xx = np.mgrid[0:FH, 0:FW]
+    yy, xx = np.mgrid[0:fh, 0:fw]
     base = 512 + 300 * np.sin(xx / 37.0) * np.cos(yy / 29.0)
-    ref = np.clip(base + rng.integers(-64, 64, size=(FH, FW)), 0, 1023)
+    ref = np.clip(base + rng.integers(-64, 64, size=(fh, fw)), 0, 1023)
     orig = np.roll(ref, (3, -2), axis=(0, 1))
-    orig = np.clip(orig + rng.integers(-24, 24, size=(FH, FW)), 0, 1023)
+    orig = np.clip(orig + rng.integers(-24, 24, size=(fh, fw)), 0, 1023)
     return ref.astype(np.int32), orig.astype(np.int32)
 
 
-def main():
-    import jax
+def run_workload(fw, fh, n_iters):
+    """All 4 pred stages over one synthetic (frame, ref) pair.
+
+    Returns (sec_per_frame_ref, compile_plus_first_run_s, cus_per_sec).
+    """
     import jax.numpy as jnp
 
     from vvc_affine_tpu import geometry as G
-    from vvc_affine_tpu.models import affine_plane as affine_me
+    from vvc_affine_tpu.models import affine_plane
 
-    ref_np, orig_np = synth_frames()
+    ref_np, orig_np = synth_frames(fw, fh)
     ref = jnp.asarray(ref_np.ravel())
     orig = jnp.asarray(orig_np.ravel())
     lam = jnp.float32(78.949063)  # QP32, POC1
@@ -50,10 +54,10 @@ def main():
     stages = {}
     for mode in ("full", "half"):
         for n_cp in (2, 3):
-            spec = affine_me.PlaneSpec(mode, n_cp, FW, FH)
-            stages[(mode, n_cp)] = (affine_me.build_stage(spec), spec)
+            spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh)
+            stages[(mode, n_cp)] = affine_plane.build_stage(spec)
     zeros = {
-        mode: affine_me.zero_cpmvs(affine_me.PlaneSpec(mode, 2, FW, FH))
+        mode: affine_plane.zero_cpmvs(affine_plane.PlaneSpec(mode, 2, fw, fh))
         for mode in ("full", "half")
     }
 
@@ -63,8 +67,8 @@ def main():
         # reliable barrier, so we np.asarray every output.
         outs = []
         for mode in ("full", "half"):
-            c2, p2 = stages[(mode, 2)][0](ref, orig, lam, zeros[mode])
-            c3, p3 = stages[(mode, 3)][0](ref, orig, lam, p2)
+            c2, p2 = stages[(mode, 2)](ref, orig, lam, zeros[mode])
+            c3, p3 = stages[(mode, 3)](ref, orig, lam, p2)
             outs.append((c2, c3))
         for c2, c3 in outs:
             np.asarray(c2)
@@ -76,15 +80,21 @@ def main():
     compile_s = time.time() - t_compile
 
     t0 = time.time()
-    for _ in range(N_ITERS):
+    for _ in range(n_iters):
         one_pass()
-    dt = (time.time() - t0) / N_ITERS
+    dt = (time.time() - t0) / n_iters
 
-    n_ctus = G.frame_grid(FW, FH).num_ctus
+    n_ctus = G.frame_grid(fw, fh).num_ctus
     cus = n_ctus * (
         G.layout("full").cus_per_ctu + G.layout("half").cus_per_ctu
     ) * 2  # 2CP + 3CP variants
-    cus_per_sec = cus / dt
+    return dt, compile_s, cus / dt
+
+
+def main():
+    import jax
+
+    dt, compile_s, cus_per_sec = run_workload(FW, FH, N_ITERS)
 
     vs = 1.0
     if os.path.exists(BASELINE_PATH):
@@ -96,7 +106,7 @@ def main():
         with open(BASELINE_PATH, "w") as f:
             json.dump({"cus_per_sec": cus_per_sec, "sec_per_frame_ref": dt}, f)
 
-    print(json.dumps({
+    out = {
         "metric": "cus_per_sec_per_chip",
         "value": round(cus_per_sec, 1),
         "unit": "CU/s",
@@ -105,7 +115,14 @@ def main():
         "frame_refs_per_sec": round(1.0 / dt, 3),
         "compile_plus_first_run_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    # 4K workload (510 CTUs, constants.h:73-79) unless disabled
+    if os.environ.get("VVC_BENCH_4K", "1") != "0":
+        dt4, compile4_s, cus4 = run_workload(FW4K, FH4K, 1)
+        out["sec_per_frame_ref_4k"] = round(dt4, 4)
+        out["cus_per_sec_4k"] = round(cus4, 1)
+        out["compile_plus_first_run_4k_s"] = round(compile4_s, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

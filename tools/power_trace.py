@@ -67,7 +67,8 @@ def main():
     sys.stderr.write(proc.stderr)
 
     # join: extract "<MARKER>,<epoch>," stamps from the workload stdout
-    marks = re.findall(r"^([A-Z][A-Z0-9 ._]*),(\d+\.\d+),$", proc.stdout, re.M)
+    marks = re.findall(r"^([A-Z][A-Za-z0-9 ._]*),(\d+\.\d+),$", proc.stdout,
+                       re.M)
     with open(args.out, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["t_epoch", "bytes_in_use", "peak_bytes_in_use"])

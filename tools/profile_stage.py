@@ -1,0 +1,107 @@
+"""Per-piece TPU timing of the dense engine's evaluate pipeline.
+
+Times, via on-device scalar-reduction fetches (the only reliable barrier on
+the tunnelled platform), the individual pieces of one FULL_2CP evaluate at
+1080p: MV/tap plane construction, the warp kernel at each dispatch rung,
+the escape fix-up, the SATD/gradient/moment reductions, and the solver —
+plus the full stage for reference.  Run on the TPU:
+
+    python tools/profile_stage.py [WxH]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def timed(fn, *args, n=3, **kw):
+    import jax.numpy as jnp
+
+    out = fn(*args, **kw)   # compile + warm
+    _sync(out)
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        out = fn(*args, **kw)
+        _sync(out)
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def _sync(out):
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(out)
+    acc = None
+    for x in leaves:
+        if hasattr(x, "dtype"):
+            v = x.ravel()[0].astype("int32") if x.size else 0
+            acc = v if acc is None else acc + v
+    np.asarray(acc)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vvc_affine_tpu.models import affine_plane as ap
+    from vvc_affine_tpu.ops import warp as warp_ops
+
+    res = sys.argv[1] if len(sys.argv) > 1 else "1920x1080"
+    fw, fh = (int(v) for v in res.split("x"))
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
+    orig = jnp.asarray(rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
+    lam = jnp.float32(78.949063)
+
+    spec = ap.PlaneSpec("full", 2, fw, fh)
+    t = ap.build_tables(spec)
+    dyn = ap.dyn_tables(t)
+
+    prep = jax.jit(lambda r, o: ap.prep_inputs(spec, t, r, o))
+    print(f"prep_inputs: {timed(prep, ref, orig)*1e3:8.2f} ms")
+    tiles, orig16, ref_pl = prep(ref, orig)
+
+    # motion planes at a fixed small CPMV (rung-1 territory)
+    cp = jnp.full((t.n_ctus, t.n_cus, 3, 2), 52, jnp.int32)  # 3.25 px
+
+    mvfn = jax.jit(lambda c: ap._mv_planes(spec, t, dyn, c))
+    print(f"mv_planes:   {timed(mvfn, cp)*1e3:8.2f} ms")
+    dy, dx, fx, fy = mvfn(cp)
+    tapfn = jax.jit(lambda a, b: (ap._tap_planes(a), ap._tap_planes(b)))
+    print(f"tap_planes:  {timed(tapfn, fx, fy)*1e3:8.2f} ms")
+    hc, vc = tapfn(fx, fy)
+
+    for R in (2, 4, 8):
+        kfn = jax.jit(lambda tl, a, b, c, d, R=R: ap._warp_kernel_only(
+            spec, t, tl, a, b, c, d, R))
+        ms = timed(kfn, tiles, dy, dx, hc, vc) * 1e3
+        print(f"warp R={R}:    {ms:8.2f} ms")
+    pred = jax.jit(lambda tl, a, b, c, d: ap._warp_kernel_only(
+        spec, t, tl, a, b, c, d, 8))(tiles, dy, dx, hc, vc)
+
+    fixfn = jax.jit(lambda p, a, b, c, d: ap._escape_fixup(
+        spec, t, dyn, ref, p, a, b, c, d, jnp.int32(8)))
+    print(f"escape_fix:  {timed(fixfn, pred, dy, dx, hc, vc)*1e3:8.2f} ms")
+
+    redfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig16,
+                                              dyn.within, True))
+    print(f"reduce_pred: {timed(redfn, pred.astype(jnp.int32))*1e3:8.2f} ms")
+
+    _, M, rhs = redfn(pred.astype(jnp.int32))
+    from vvc_affine_tpu.ops import solver as solver_ops
+    solfn = jax.jit(lambda M, r: solver_ops.solve_affine(M, r, 2))
+    print(f"solver:      {timed(solfn, M, rhs)*1e3:8.2f} ms")
+
+    evfn = jax.jit(lambda c: ap._evaluate(spec, t, dyn, ref, tiles, orig16,
+                                          c, True))
+    print(f"evaluate:    {timed(evfn, cp)*1e3:8.2f} ms")
+
+    stage = ap.build_stage(spec)
+    z = ap.zero_cpmvs(spec)
+    print(f"full stage:  {timed(stage, ref, orig, lam, z, n=2)*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

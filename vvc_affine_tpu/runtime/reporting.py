@@ -133,7 +133,6 @@ def report_results(
                         f"{cost_blk[ctu, cu]},"
                         f"{v[0]},{v[1]},{v[2]},{v[3]},{v[4]},{v[5]}\n"
                     )
-                    i = stride + cu  # noqa: F841  (kept for readability)
             block = "".join(lines)
             if fh is not None:
                 fh.write(block)
@@ -142,6 +141,53 @@ def report_results(
     finally:
         for fh in handles.values():
             fh.close()
+
+
+class DeviceTraceSampler:
+    """In-process ~1 ms device-memory activity sampler.
+
+    Same trace CSV format as tools/power_trace.py, but sampling happens on
+    a thread inside the engine process — required on platforms where a
+    second device client is unsafe (the tunnelled TPU used here crashes the
+    worker on concurrent clients).  Join with tools/energy_report.py.
+    """
+
+    def __init__(self, out_path: str, period_ms: float = 1.0) -> None:
+        import threading
+
+        self.out_path = out_path
+        self.period_s = period_ms / 1e3
+        self.rows: list = []
+        self._stop = threading.Event()
+        self._th = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        import jax
+
+        dev = jax.devices()[0]
+        while not self._stop.is_set():
+            t = time.time()
+            try:
+                stats = dev.memory_stats() or {}
+            except Exception:
+                stats = {}
+            self.rows.append((t, stats.get("bytes_in_use", 0),
+                              stats.get("peak_bytes_in_use", 0)))
+            time.sleep(self.period_s)
+
+    def start(self) -> None:
+        self._th.start()
+
+    def stop(self) -> None:
+        import csv
+
+        self._stop.set()
+        self._th.join(timeout=2)
+        with open(self.out_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["t_epoch", "bytes_in_use", "peak_bytes_in_use"])
+            w.writerows(self.rows)
+        print(f"device trace: {len(self.rows)} samples -> {self.out_path}")
 
 
 class Timing:
@@ -153,6 +199,9 @@ class Timing:
 
     def __init__(self) -> None:
         self.exec_ns = [0.0, 0.0, 0.0, 0.0]
+        self.escapes = 0
+        self.max_groups = 0
+        self.fallbacks = 0
         self.t0 = time.time()
 
     def stamp(self, msg: str) -> None:
@@ -162,6 +211,13 @@ class Timing:
     def add(self, pred: int, seconds: float) -> None:
         self.exec_ns[pred] += seconds * 1e9
 
+    def add_escapes(self, n_escapes: int, max_groups: int,
+                    n_fallbacks: int) -> None:
+        """Escape-budget telemetry from the dense engine (per stage run)."""
+        self.escapes += n_escapes
+        self.max_groups = max(self.max_groups, max_groups)
+        self.fallbacks += n_fallbacks
+
     def report(self, n_frames: int) -> None:
         print("=-" * 23)
         print("TIMING RESULTS (nanoseconds)")
@@ -170,6 +226,9 @@ class Timing:
         total = sum(self.exec_ns)
         print(f"TOTAL_EXEC_TIME({n_frames}x),{total:f}")
         print(f"OVERALL({n_frames}x),{(time.time() - self.t0) * 1e9:f}")
+        print(f"ESCAPE_BLOCKS,{self.escapes}")
+        print(f"ESCAPE_MAX_GROUPS,{self.max_groups}")
+        print(f"WHOLE_FRAME_FALLBACKS,{self.fallbacks}")
         print("=-" * 23)
 
 
@@ -194,7 +253,10 @@ def memory_report(frame_w: int, frame_h: int) -> str:
     hp, wp = W2.refpad_shape(grid.ctu_rows, grid.ctu_cols)
     lines = [f"MEMORY USAGE (bytes), frame {frame_w}x{frame_h}, {n} CTUs"]
     lines.append(f"ref/orig plane (int32): {frame_w * frame_h * 4}")
-    lines.append(f"refpad VMEM plane (int16): {hp * wp * 2}")
+    lines.append(f"refpad plane (int16): {hp * wp * 2}")
+    lines.append(
+        f"per-CTU ref tiles (int16): {n * W2.TILE_H * W2.TILE_W * 2}"
+        f" ({W2.TILE_H}x{W2.TILE_W} VMEM-resident per grid step)")
     for mode in ("full", "half"):
         lay = G2.layout(mode)
         bins, _ = P2.bin_layout(mode)
@@ -210,10 +272,12 @@ def memory_report(frame_w: int, frame_h: int) -> str:
         lines.append(
             f"[{mode}] per-CU cost/cpmvs out (int64+int32): "
             f"{n * lay.cus_per_ctu * (8 + 24)}")
-        p = 4 if mode else 6
         lines.append(
             f"[{mode}] equation systems M,rhs 2CP (int64): "
             f"{n * lay.cus_per_ctu * (16 + 4) * 8}")
+        lines.append(
+            f"[{mode}] equation systems M,rhs 3CP (int64): "
+            f"{n * lay.cus_per_ctu * (36 + 6) * 8}")
     try:
         stats = jax.devices()[0].memory_stats() or {}
         lines.append(f"device bytes_in_use: {stats.get('bytes_in_use', 'n/a')}")
