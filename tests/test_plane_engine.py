@@ -4,15 +4,75 @@ Both implement the affine_gradient_mult_sizes(_HA) behavioural spec; the
 merged-group engine (models.affine_me) is itself validated against the
 NumPy VTM oracle in test_engine_parity.py, so equality here transfers that
 guarantee to the plane engine (models.affine_plane).
+
+The plane-engine stages compile+run in FRESH child processes: XLA:CPU
+aborts/segfaults compiling these (largest-in-suite) graphs late in a long
+session, while identical compiles in a fresh process are solid — see
+tests/conftest.py for the exec-time stack rlimit part of the story.
 """
+
+import os
+import subprocess
+import sys
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from vvc_affine_tpu.models import affine_me, affine_plane
+from vvc_affine_tpu.models import affine_me
 
 FW, FH = 416, 240
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD_SRC = """
+import sys
+import numpy as np
+import jax.numpy as jnp
+from vvc_affine_tpu.models import affine_plane
+
+mode, fw, fh, seed, out_path = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+    sys.argv[5])
+lams = [float(v) for v in sys.argv[6].split(",")]
+rng = np.random.default_rng(seed)
+ref = jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
+orig = jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
+spec2 = affine_plane.PlaneSpec(mode, 2, fw, fh, use_pallas=False)
+run2 = affine_plane.build_stage(spec2)
+z = affine_plane.zero_cpmvs(spec2)
+out = {}
+for i, lam in enumerate(lams):
+    c2, p2 = run2(ref, orig, jnp.float32(lam), z)
+    out[f"c2_{i}"] = np.asarray(c2)
+    out[f"p2_{i}"] = np.asarray(p2)
+spec3 = affine_plane.PlaneSpec(mode, 3, fw, fh, use_pallas=False)
+run3 = affine_plane.build_stage(spec3)
+c3, p3 = run3(ref, orig, jnp.float32(lams[0]), jnp.asarray(out["p2_0"]))
+out["c3"] = np.asarray(c3)
+out["p3"] = np.asarray(p3)
+np.savez(out_path, **out)
+"""
+
+
+def _raise_stack():
+    import resource
+
+    soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+    want = 1 << 29
+    new = want if hard == resource.RLIM_INFINITY else min(want, hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (new, hard))
+
+
+def _run_plane_child(mode, seed, lams, out):
+    env = dict(os.environ)
+    env["VVC_AFFINE_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c", _CHILD_SRC, mode, str(FW), str(FH),
+         str(seed), out, ",".join(repr(v) for v in lams)],
+        env=env, cwd=_REPO, preexec_fn=_raise_stack,
+        capture_output=True, text=True, timeout=3600)
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-2000:])
+    return np.load(out)
 
 
 def _frames(seed):
@@ -23,28 +83,23 @@ def _frames(seed):
 
 
 @pytest.mark.parametrize("mode", ["full", "half"])
-def test_plane_engine_matches_gather_engine(mode):
+def test_plane_engine_matches_gather_engine(mode, tmp_path):
+    got = _run_plane_child(mode, 7, [57.54], str(tmp_path / "plane.npz"))
     ref, orig = _frames(7)
     lam = jnp.float32(57.54)
     z = affine_me.zero_cpmvs(affine_me.StageSpec(mode, 2, FW, FH))
     c_ref, p_ref = affine_me.build_stage(
         affine_me.StageSpec(mode, 2, FW, FH))(ref, orig, lam, z)
-    c_new, p_new = affine_plane.build_stage(
-        affine_plane.PlaneSpec(mode, 2, FW, FH, use_pallas=False))(
-            ref, orig, lam, z)
-    assert np.array_equal(np.asarray(c_ref), np.asarray(c_new))
-    assert np.array_equal(np.asarray(p_ref), np.asarray(p_new))
+    np.testing.assert_array_equal(np.asarray(c_ref), got["c2_0"])
+    np.testing.assert_array_equal(np.asarray(p_ref), got["p2_0"])
     # 3CP consumes the 2CP CPMVs (main.cpp:837)
     c3r, p3r = affine_me.build_stage(
         affine_me.StageSpec(mode, 3, FW, FH))(ref, orig, lam, p_ref)
-    c3n, p3n = affine_plane.build_stage(
-        affine_plane.PlaneSpec(mode, 3, FW, FH, use_pallas=False))(
-            ref, orig, lam, p_new)
-    assert np.array_equal(np.asarray(c3r), np.asarray(c3n))
-    assert np.array_equal(np.asarray(p3r), np.asarray(p3n))
+    np.testing.assert_array_equal(np.asarray(c3r), got["c3"])
+    np.testing.assert_array_equal(np.asarray(p3r), got["p3"])
 
 
-def test_qp_sweep_parity():
+def test_qp_sweep_parity(tmp_path):
     """Engine parity across the standard QP sweep {22, 27, 32, 37}.
 
     Lambda is the only QP-dependent input to a stage (main.cpp:585), so the
@@ -52,14 +107,12 @@ def test_qp_sweep_parity():
     """
     from vvc_affine_tpu import constants as C
 
+    lams = [float(C.lambda_for(qp, 1)) for qp in (22, 27, 32, 37)]
+    got = _run_plane_child("full", 11, lams, str(tmp_path / "sweep.npz"))
     ref, orig = _frames(11)
     f_ref = affine_me.build_stage(affine_me.StageSpec("full", 2, FW, FH))
-    f_new = affine_plane.build_stage(
-        affine_plane.PlaneSpec("full", 2, FW, FH, use_pallas=False))
     z = affine_me.zero_cpmvs(affine_me.StageSpec("full", 2, FW, FH))
-    for qp in (22, 27, 32, 37):
-        lam = jnp.float32(C.lambda_for(qp, 1))
-        c_r, p_r = f_ref(ref, orig, lam, z)
-        c_n, p_n = f_new(ref, orig, lam, z)
-        assert np.array_equal(np.asarray(c_r), np.asarray(c_n)), qp
-        assert np.array_equal(np.asarray(p_r), np.asarray(p_n)), qp
+    for i, lam in enumerate(lams):
+        c_r, p_r = f_ref(ref, orig, jnp.float32(lam), z)
+        np.testing.assert_array_equal(np.asarray(c_r), got[f"c2_{i}"])
+        np.testing.assert_array_equal(np.asarray(p_r), got[f"p2_{i}"])

@@ -50,31 +50,83 @@ def test_sharded_gather_stage_matches_single_device():
         np.testing.assert_array_equal(np.asarray(p3_s), np.asarray(p3_m))
 
 
+_CHILD_SRC = """
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+from vvc_affine_tpu.models import affine_plane
+from vvc_affine_tpu.parallel import mesh as pmesh
+
+mode, fw, fh, seed, out_path = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+    sys.argv[5])
+rng = np.random.default_rng(seed)
+ref = jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
+orig = jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
+mesh = pmesh.make_mesh(jax.devices()[:8])
+lam = jnp.float32(%r)
+spec2 = affine_plane.PlaneSpec(mode, 2, fw, fh)
+shard2 = pmesh.build_plane_stage_sharded(spec2, mesh)
+c2, p2 = shard2(ref, orig, lam, affine_plane.zero_cpmvs(spec2))
+spec3 = affine_plane.PlaneSpec(mode, 3, fw, fh)
+shard3 = pmesh.build_plane_stage_sharded(spec3, mesh)
+c3, p3 = shard3(ref, orig, lam, p2)
+np.savez(out_path, c2=np.asarray(c2), p2=np.asarray(p2),
+         c3=np.asarray(c3), p3=np.asarray(p3))
+""" % LAM
+
+
+def _raise_stack():
+    import resource
+
+    soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+    want = 1 << 29
+    new = want if hard == resource.RLIM_INFINITY else min(want, hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (new, hard))
+
+
 @pytest.mark.parametrize("mode", ["full", "half"])
-def test_sharded_plane_stage_matches_single_device(mode):
+def test_sharded_plane_stage_matches_single_device(mode, tmp_path):
     """The shipping dense engine, sharded: both modes, 2CP->3CP chained.
 
-    384x256 = 3x2 = 6 CTUs padded to 8 devices; a bottom CTU row is partial
-    (256 % 128 == 0, so use 384x320 for a partial row instead).
+    9 CTUs (bottom row partial) padded to 16 over 8 devices.  The sharded
+    stages compile+run in a FRESH child process: XLA:CPU segfaults
+    compiling them late in a long session (heap state from many prior big
+    compiles), while the identical compile in a fresh process is solid —
+    the child also gets the exec-time stack rlimit raise.
     """
+    import os
+    import subprocess
+    import sys as _sys
+
     assert jax.device_count() >= 8
     fw, fh = 384, 320  # 3x3 = 9 CTUs (bottom row partial) -> padded to 16
-    ref_j, orig_j = _frames(fw, fh, seed=mode == "half" and 7 or 3)
-    mesh = pmesh.make_mesh(jax.devices()[:8])
+    seed = 7 if mode == "half" else 3
+    out = str(tmp_path / "sharded.npz")
+    env = dict(os.environ)
+    env["VVC_AFFINE_TPU_PLATFORM"] = "cpu"
+    env.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [_sys.executable, "-c", _CHILD_SRC, mode, str(fw), str(fh),
+         str(seed), out],
+        env=env, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+        preexec_fn=_raise_stack, capture_output=True, text=True,
+        timeout=3600)
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-2000:])
+    got = np.load(out)
 
+    ref_j, orig_j = _frames(fw, fh, seed=seed)
     spec2 = affine_plane.PlaneSpec(mode, 2, fw, fh)
     single2 = affine_plane.build_stage(spec2)
-    shard2 = pmesh.build_plane_stage_sharded(spec2, mesh)
     zeros = affine_plane.zero_cpmvs(spec2)
     c_s, p_s = single2(ref_j, orig_j, jnp.float32(LAM), zeros)
-    c_m, p_m = shard2(ref_j, orig_j, jnp.float32(LAM), zeros)
-    np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_m))
-    np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_m))
+    np.testing.assert_array_equal(np.asarray(c_s), got["c2"])
+    np.testing.assert_array_equal(np.asarray(p_s), got["p2"])
 
     spec3 = affine_plane.PlaneSpec(mode, 3, fw, fh)
     single3 = affine_plane.build_stage(spec3)
-    shard3 = pmesh.build_plane_stage_sharded(spec3, mesh)
     c3_s, p3_s = single3(ref_j, orig_j, jnp.float32(LAM), p_s)
-    c3_m, p3_m = shard3(ref_j, orig_j, jnp.float32(LAM), p_m)
-    np.testing.assert_array_equal(np.asarray(c3_s), np.asarray(c3_m))
-    np.testing.assert_array_equal(np.asarray(p3_s), np.asarray(p3_m))
+    np.testing.assert_array_equal(np.asarray(c3_s), got["c3"])
+    np.testing.assert_array_equal(np.asarray(p3_s), got["p3"])

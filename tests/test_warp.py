@@ -172,19 +172,27 @@ def test_adaptive_dispatch_exact():
     spec_fast = ap.PlaneSpec("full", 2, FW, FH, use_pallas=True,
                              interpret=True, R=8)
     spec_ref = ap.PlaneSpec("full", 2, FW, FH, use_pallas=False)
-    assert spec_fast.r_ladder == (2, 4, 8)
+    assert spec_fast.r_ladder == (1, 2, 4, 8)
     t = ap.build_tables(spec_fast)
     for mv in (16, 32, 48, 64, 80, 128):   # maxd = 1, 2, 3, 4, 5, 8
         cp = jnp.full((t.n_ctus, t.n_cus, 3, 2), mv, jnp.int32)
         s_fast, _ = _eval(ap, spec_fast, t, ref, orig, cp)
         s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
         assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref)), mv
-    # mostly-small motion + a few 6-px outlier CUs: the dispatcher picks a
-    # middle rung and its small escape budget fixes the outliers exactly
+    # mostly-small motion + a few 6-px outlier CUs: a narrow rung wins and
+    # the escaped-slab second pass fixes the outliers (no gather fix-up)
     cp = jnp.full((t.n_ctus, t.n_cus, 3, 2), 16, jnp.int32)
     s32 = t.strides[6]
     for ctu, cu in ((0, 1), (2, 5)):
         cp = cp.at[ctu, s32 + cu, :, 0].set(96).at[ctu, s32 + cu, :, 1].set(96)
+    s_fast, telem = _eval(ap, spec_fast, t, ref, orig, cp)
+    s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
+    assert int(telem.n_escapes) == 0 and int(telem.n_fallbacks) == 0
+    assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
+    # ... and 10-px outliers exceed even the widest kernel: the per-block
+    # gather fix-up engages
+    for ctu, cu in ((0, 1), (2, 5)):
+        cp = cp.at[ctu, s32 + cu, :, 0].set(160).at[ctu, s32 + cu, :, 1].set(160)
     s_fast, telem = _eval(ap, spec_fast, t, ref, orig, cp)
     s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
     assert int(telem.n_escapes) > 0 and int(telem.n_fallbacks) == 0

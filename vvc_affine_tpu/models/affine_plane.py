@@ -71,7 +71,7 @@ class PlaneSpec:
         """Ascending kernel displacement bounds tried by the dispatcher."""
         if not self.adaptive:
             return (self.R,)
-        return tuple(r for r in (2, 4) if r < self.R) + (self.R,)
+        return tuple(r for r in (1, 2, 4) if r < self.R) + (self.R,)
 
 
 class DynTables(NamedTuple):
@@ -85,7 +85,13 @@ class DynTables(NamedTuple):
 
 
 class EvalTelemetry(NamedTuple):
-    """Escape-budget counters (int32 scalars), summed over iterations."""
+    """Escape-budget counters (int32 scalars), summed over iterations.
+
+    n_escapes counts blocks displaced beyond the WIDEST ladder kernel
+    (spec.R) — the ones recomputed by the per-block gather fix-up; blocks
+    between the selected rung and spec.R are handled by the vectorized
+    escaped-slab second pass and are not counted here.
+    """
 
     n_escapes: jnp.ndarray       # blocks recomputed by the exact fix-up
     max_groups: jnp.ndarray      # peak escape-containing (ctu, class) groups
@@ -307,19 +313,29 @@ def _zero_telem() -> EvalTelemetry:
     return EvalTelemetry(z, z, z)
 
 
-def _mid_budget(spec: PlaneSpec) -> int:
-    """Escape budget of the narrow dispatch rungs (small: outliers only)."""
-    return min(1024, spec.escape_budget)
+def _static_slab_mask(t: PlaneTables, n_ctu: int):
+    """[nCtu, nBins, 16] int32: the never-valid half-aligned slab skip."""
+    base = jnp.asarray(t.slab_active.reshape(1, t.n_bins, 16))
+    return jnp.broadcast_to(base, (n_ctu, t.n_bins, 16))
+
+
+def _esc_slab_mask(esc_blk):
+    """Per-block escape flags [nCtu, nB, NB, NB] -> per-slab any
+    [nCtu, nB, 16] (slab k = block rows 2k, 2k+1)."""
+    n_ctu, nb = esc_blk.shape[:2]
+    return esc_blk.reshape(n_ctu, nb, 16, 2, NB).any(axis=(-2, -1))
 
 
 def _warp_kernel_only(spec: PlaneSpec, t: PlaneTables, tiles,
-                      dy, dx, hc, vc, R: int):
+                      dy, dx, hc, vc, R: int, slab_active=None):
+    if slab_active is None:
+        slab_active = _static_slab_mask(t, dy.shape[0])
     return warp_ops.warp_pallas(
         tiles,
         warp_ops.expand_lanes(dy), warp_ops.expand_lanes(dx),
         warp_ops.expand_lanes(hc), warp_ops.expand_lanes(vc),
         R=R, interpret=spec.interpret,
-        slab_active=jnp.asarray(t.slab_active))
+        slab_active=slab_active.astype(jnp.int32))
 
 
 def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
@@ -345,48 +361,54 @@ def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     # groups (past the old floor of 16) and paid a multi-second whole-frame
     # fallback; headroom here is a few extra rows of a tiny gather
     GT = max(E // NB // NB, 64)
-    # two-level compaction: a flat nonzero over all block flags costs
-    # >100 ms (its cumsum also trips XLA's scoped-vmem limit); first
-    # compact escape-containing (ctu, class) groups (~1.6k flags), then
-    # blocks within those groups.
     esc_g = esc.any(axis=(-2, -1)).ravel()           # [nCtu*nCls]
     n_groups = esc_g.sum()
-    (gidx,) = jnp.nonzero(esc_g, size=GT, fill_value=0)
-    gidx = gidx.astype(jnp.int32)
-    g_flags = esc.reshape(-1, NB * NB)[gidx]         # [GT, NB*NB]
-    (fi,) = jnp.nonzero(g_flags.ravel(), size=E, fill_value=0)
-    fi = fi.astype(jnp.int32)
-    flat_idx = gidx[fi // (NB * NB)] * (NB * NB) + fi % (NB * NB)
-    bxi = flat_idx % NB
-    byi = (flat_idx // NB) % NB
-    ci = (flat_idx // (NB * NB)) % n_bins
-    ti = flat_idx // (NB * NB * n_bins)
-    g1 = ti * n_bins + ci
-    g2 = byi * NB + bxi
-    dy_f = dy.reshape(-1)[flat_idx]
-    dx_f = dx.reshape(-1)[flat_idx]
-    hc_f = hc.reshape(-1, 8, NB * NB)[g1, :, g2]      # [E, 8]
-    vc_f = vc.reshape(-1, 8, NB * NB)[g1, :, g2]
-    y_blk = dyn.ctu_y[ti] + 4 * byi
-    x_blk = dyn.ctu_x[ti] + 4 * bxi
-    blocks = warp_ops.predict_blocks_flat(
-        ref_flat, spec.frame_w, spec.frame_h,
-        y_blk, x_blk, dy_f, dx_f, hc_f, vc_f)        # [E, 4, 4]
-    rr = jnp.arange(4, dtype=jnp.int32)
-    rows = (4 * byi[:, None] + rr)[:, :, None]       # [E, 4, 1]
-    cols = (4 * bxi[:, None] + rr)[:, None, :]       # [E, 1, 4]
-    pred = pred.at[ti[:, None, None], ci[:, None, None],
-                   rows, cols].set(blocks)
-    # beyond-budget escape counts (pathological inputs): exact fallback
     over = (n_esc > E) | (n_groups > GT)
-    pred = lax.cond(
-        over,
-        lambda op: warp_ops.warp_xla(
-            ref_flat, spec.frame_w, spec.frame_h, dyn.ctu_y, dyn.ctu_x,
-            op[0], op[1], op[2], op[3]),
-        lambda op: op[4],
-        (dy, dx, hc, vc, pred),
-    )
+
+    def fix(pred):
+        # two-level compaction: a flat nonzero over all block flags costs
+        # >100 ms (its cumsum also trips XLA's scoped-vmem limit); first
+        # compact escape-containing (ctu, class) groups (~1.6k flags), then
+        # blocks within those groups.
+        (gidx,) = jnp.nonzero(esc_g, size=GT, fill_value=0)
+        gidx = gidx.astype(jnp.int32)
+        g_flags = esc.reshape(-1, NB * NB)[gidx]     # [GT, NB*NB]
+        (fi,) = jnp.nonzero(g_flags.ravel(), size=E, fill_value=0)
+        fi = fi.astype(jnp.int32)
+        flat_idx = gidx[fi // (NB * NB)] * (NB * NB) + fi % (NB * NB)
+        bxi = flat_idx % NB
+        byi = (flat_idx // NB) % NB
+        ci = (flat_idx // (NB * NB)) % n_bins
+        ti = flat_idx // (NB * NB * n_bins)
+        g1 = ti * n_bins + ci
+        g2 = byi * NB + bxi
+        dy_f = dy.reshape(-1)[flat_idx]
+        dx_f = dx.reshape(-1)[flat_idx]
+        hc_f = hc.reshape(-1, 8, NB * NB)[g1, :, g2]  # [E, 8]
+        vc_f = vc.reshape(-1, 8, NB * NB)[g1, :, g2]
+        y_blk = dyn.ctu_y[ti] + 4 * byi
+        x_blk = dyn.ctu_x[ti] + 4 * bxi
+        blocks = warp_ops.predict_blocks_flat(
+            ref_flat, spec.frame_w, spec.frame_h,
+            y_blk, x_blk, dy_f, dx_f, hc_f, vc_f)    # [E, 4, 4]
+        rr = jnp.arange(4, dtype=jnp.int32)
+        rows = (4 * byi[:, None] + rr)[:, :, None]   # [E, 4, 1]
+        cols = (4 * bxi[:, None] + rr)[:, None, :]   # [E, 1, 4]
+        pred = pred.at[ti[:, None, None], ci[:, None, None],
+                       rows, cols].set(blocks.astype(pred.dtype))
+        # beyond-budget escape counts (pathological inputs): exact fallback
+        return lax.cond(
+            over,
+            lambda op: warp_ops.warp_xla(
+                ref_flat, spec.frame_w, spec.frame_h, dyn.ctu_y, dyn.ctu_x,
+                op[0], op[1], op[2], op[3]).astype(pred.dtype),
+            lambda op: op[4],
+            (dy, dx, hc, vc, pred),
+        )
+
+    # the compaction + per-block gather is pure overhead on clean
+    # iterations — skip it entirely when nothing escaped
+    pred = lax.cond(n_esc > 0, fix, lambda p: p, pred)
     telem = EvalTelemetry(n_esc.astype(jnp.int32),
                           n_groups.astype(jnp.int32),
                           over.astype(jnp.int32))
@@ -408,15 +430,19 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
         use_pallas = jax.default_backend() == "tpu"
 
     if use_pallas:
-        # Adaptive dispatch: the NARROWEST kernel whose outlier count fits
-        # a small escape budget wins — a handful of wandering CUs (the
-        # common case; refinement steps are small) no longer forces the
-        # wide kernel for the whole frame.  The switch holds ONLY the
-        # kernels; a single shared escape fix-up (threshold = the selected
-        # bound, as data) then recomputes the outliers exactly, and its
-        # whole-frame fallback covers beyond-budget inputs, so the dispatch
-        # is exact for ANY displacements.
+        # Adaptive two-pass dispatch.  Pass 1 runs one kernel from the
+        # R-ladder over every slab; pass 2 re-runs the WIDEST kernel on
+        # only the slabs containing blocks the narrow kernel missed
+        # (per-(CTU, class, slab) predication) and the results merge
+        # per-block — so mid-range outliers cost a few extra slabs of
+        # vector work instead of gathers.  The rung is chosen by an
+        # arithmetic cost model: units(r) * all-slabs + units(Rmax) *
+        # escaped-slabs(r), minimized over the ladder.  Blocks beyond Rmax
+        # (rare) still go through the exact per-block gather fix-up and
+        # its whole-frame fallback, so the dispatch is exact for ANY
+        # displacements.
         ladder = spec.r_ladder
+        act_static = _static_slab_mask(t, dy.shape[0])
         if len(ladder) == 1:
             pred = _warp_kernel_only(spec, t, tiles, dy, dx, hc, vc,
                                      ladder[0])
@@ -425,23 +451,49 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
                 jnp.int32(ladder[0]))
         else:
             ady, adx = jnp.abs(dy), jnp.abs(dx)
-            E_mid = _mid_budget(spec)
-            GT_mid = max(E_mid // NB // NB, 64)
-            branch = jnp.int32(len(ladder) - 1)
-            for i in range(len(ladder) - 2, -1, -1):
-                e = (ady > ladder[i]) | (adx > ladder[i])
-                ok = (e.sum() <= E_mid) & (
-                    e.any(axis=(-2, -1)).sum() <= GT_mid)
-                branch = jnp.where(ok, jnp.int32(i), branch)
+            r_max = ladder[-1]
+
+            def units(r):
+                # per-slab arithmetic weight of the R=r kernel: the Ht
+                # select field (NS x NR) plus roughly fixed mask/select/
+                # filter work (see ops/warp._warp_kernel)
+                return (2 * r + 8) * (2 * r + 14) + 150
+
+            n_slabs = act_static.sum()
+            costs = []
+            for r in ladder[:-1]:
+                esc_slabs = _esc_slab_mask((ady > r) | (adx > r)).sum()
+                costs.append(units(r) * n_slabs + units(r_max) * esc_slabs)
+            costs.append(units(r_max) * n_slabs)
+            branch = jnp.argmin(jnp.stack(costs)).astype(jnp.int32)
+
             pred = lax.switch(
                 branch,
-                [lambda _, r=r: _warp_kernel_only(spec, t, tiles,
-                                                  dy, dx, hc, vc, r)
+                [lambda _, r=r: _warp_kernel_only(
+                    spec, t, tiles, dy, dx, hc, vc, r, act_static)
                  for r in ladder],
                 None)
             rt = jnp.asarray(np.asarray(ladder, np.int32))[branch]
+
+            esc_blk = (ady > rt) | (adx > rt)
+            esc_slabs = _esc_slab_mask(esc_blk)
+
+            def pass2(pred1):
+                act2 = (esc_slabs & act_static.astype(bool))
+                pred2 = _warp_kernel_only(
+                    spec, t, tiles, dy, dx, hc, vc, r_max,
+                    act2.astype(jnp.int32))
+                esc_s = warp_ops.expand_lanes(
+                    jnp.repeat(esc_blk, 4, axis=-2))
+                return jnp.where(esc_s, pred2, pred1)
+
+            pred = lax.cond(
+                (branch < len(ladder) - 1) & (esc_slabs.sum() > 0),
+                pass2, lambda p: p, pred)
+            # blocks beyond the widest kernel: exact per-block recompute
             pred, telem = _escape_fixup(
-                spec, t, dyn, ref_flat, pred, dy, dx, hc, vc, rt)
+                spec, t, dyn, ref_flat, pred, dy, dx, hc, vc,
+                jnp.int32(r_max))
     else:
         pred = warp_ops.warp_xla(
             ref_flat, spec.frame_w, spec.frame_h, dyn.ctu_y, dyn.ctu_x,
@@ -485,9 +537,11 @@ def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig16, within_j,
             plane, t.bin_row_top[bi], t.bin_row_bot[bi],
             t.bin_col_left[bi], t.bin_col_right[bi])
         err16 = orig16 - _blocks16(plane)
-        # moments per block (int32-exact: |g|<=4*1023, 16 samples)
-        gx16 = _blocks16(gx)
-        gy16 = _blocks16(gy)
+        # moments per block (int32-exact: |g|<=4*1023, 16 samples); pred
+        # planes may arrive int16 (10-bit samples, half the HBM traffic),
+        # so the products are cast up explicitly
+        gx16 = _blocks16(gx).astype(jnp.int32)
+        gy16 = _blocks16(gy).astype(jnp.int32)
         moments.append((
             (gx16 * gx16).sum(-1).astype(jnp.int64),
             (gx16 * gy16).sum(-1).astype(jnp.int64),
@@ -541,7 +595,7 @@ def _evaluate_zero(spec: PlaneSpec, t: PlaneTables, ref_pl, orig16,
     """
     tmp = (ref_pl * 64 + warp_ops._OFF1) >> warp_ops._SHIFT1
     p0 = jnp.clip((tmp * 64 + warp_ops._OFF2) >> warp_ops._SHIFT2,
-                  C.CLP_RNG_MIN, C.CLP_RNG_MAX)
+                  C.CLP_RNG_MIN, C.CLP_RNG_MAX).astype(jnp.int16)
     return _reduce_pred(spec, t, p0[:, None], orig16, within_j, refine)
 
 

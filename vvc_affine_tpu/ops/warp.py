@@ -242,7 +242,7 @@ def _warp_kernel(R: int):
         # (infinite _convert_helper recursion, jax 0.9.0); the static form
         # also gives Mosaic compile-time slab addresses.
         for k in range(16):
-            @pl.when(act_ref[0, 0, k] != 0)
+            @pl.when(act_ref[0, 0, 0, k] != 0)
             def _(k=k):
                 slab_body(k)
 
@@ -256,7 +256,7 @@ def _warp_pallas_fn(n_ctu: int, n_cls: int, R: int, interpret: bool):
     kernel = _warp_kernel(R)
 
     def im_act(i, c):
-        return (c, 0, 0)
+        return (i, c, 0, 0)
 
     def im_blk(i, c):
         return (i, c, 0, 0)
@@ -271,7 +271,9 @@ def _warp_pallas_fn(n_ctu: int, n_cls: int, R: int, interpret: bool):
         grid=(n_ctu, n_cls),
         out_shape=jax.ShapeDtypeStruct((n_ctu, n_cls, 128, 128), jnp.int16),
         in_specs=[
-            pl.BlockSpec((1, 1, 16), im_act, memory_space=pltpu.SMEM),
+            # act is [nCtu, nCls, 1, 16]: Mosaic requires the block's last
+            # two dims to equal the array's (or be (8k, 128k))
+            pl.BlockSpec((1, 1, 1, 16), im_act, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, NB, 128), im_tap, memory_space=pltpu.VMEM),
@@ -301,13 +303,17 @@ def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
     tiles: int16 [nCtu, TILE_H, TILE_W] from build_tiles; dy_l/dx_l: int32
     [nCtu, nCls, NB, 128] (lane-expanded, see expand_lanes); hc_l/vc_l:
     int32 [nCtu, nCls, 8, NB, 128]; slab_active: optional int32
-    [nCls, 1, 16] per-(class, 8-row slab) work mask (planes with no valid
-    blocks in a slab skip it; their output rows are unspecified).
-    Returns int32 [nCtu, nCls, 128, 128].
+    [nCtu, nCls, 16] per-(CTU, class, 8-row slab) work mask — slabs with 0
+    are skipped and their output rows are unspecified (used both for the
+    static never-valid slabs of half-aligned classes and for the dynamic
+    escaped-slab second pass of the adaptive dispatcher).
+    Returns int16 [nCtu, nCls, 128, 128] (samples are 10-bit; keeping the
+    planes int16 halves the HBM traffic of every downstream reduction).
     """
     n_ctu, n_cls = dy_l.shape[:2]
     if slab_active is None:
-        slab_active = jnp.ones((n_cls, 1, 16), jnp.int32)
+        slab_active = jnp.ones((n_ctu, n_cls, 16), jnp.int32)
+    slab_active = slab_active.reshape(n_ctu, n_cls, 1, 16)
     fn = _warp_pallas_fn(n_ctu, n_cls, R, interpret)
     # Trace the kernel with x64 semantics off: the package enables
     # jax_enable_x64 globally (the VTM solver needs f64), which leaks i64
@@ -316,8 +322,7 @@ def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
     # func.return legalization failures, jax 0.9.0).  All kernel dtypes are
     # explicit, so semantics are unchanged.
     with jax.enable_x64(False):
-        out = fn(slab_active, dy_l, dx_l, hc_l, vc_l, tiles)
-    return out.astype(jnp.int32)
+        return fn(slab_active, dy_l, dx_l, hc_l, vc_l, tiles)
 
 
 def predict_blocks_flat(ref_flat, frame_w: int, frame_h: int,
