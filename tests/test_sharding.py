@@ -25,29 +25,67 @@ def _frames(fw, fh, seed=11):
     return jnp.asarray(ref.ravel()), jnp.asarray(orig.ravel())
 
 
-def test_sharded_gather_stage_matches_single_device():
+_GATHER_CHILD_SRC = """
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+from vvc_affine_tpu.models import affine_me
+from vvc_affine_tpu.parallel import mesh as pmesh
+
+fw, fh, seed, out_path = (int(sys.argv[1]), int(sys.argv[2]),
+                          int(sys.argv[3]), sys.argv[4])
+rng = np.random.default_rng(seed)
+ref = jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
+orig = jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
+mesh = pmesh.make_mesh(jax.devices()[:8])
+lam = jnp.float32(%r)
+spec2 = affine_me.StageSpec("full", 2, fw, fh)
+shard2 = pmesh.build_stage_sharded(spec2, mesh)
+c2, p2 = shard2(ref, orig, lam, affine_me.zero_cpmvs(spec2))
+spec3 = affine_me.StageSpec("full", 3, fw, fh)
+shard3 = pmesh.build_stage_sharded(spec3, mesh)
+c3, p3 = shard3(ref, orig, lam, p2)
+np.savez(out_path, c2=np.asarray(c2), p2=np.asarray(p2),
+         c3=np.asarray(c3), p3=np.asarray(p3))
+""" % LAM
+
+
+def test_sharded_gather_stage_matches_single_device(tmp_path):
+    """Gather engine, GSPMD-sharded; sharded compiles run in a fresh child
+    (XLA:CPU aborts on big compiles late in long sessions)."""
+    import os
+    import subprocess
+    import sys as _sys
+
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
     fw, fh = 256, 128  # 2x1 = 2 CTUs -> padded to 8
+    out = str(tmp_path / "gather_sharded.npz")
+    env = dict(os.environ)
+    env["VVC_AFFINE_TPU_PLATFORM"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [_sys.executable, "-c", _GATHER_CHILD_SRC, str(fw), str(fh), "11",
+         out],
+        env=env, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+        preexec_fn=_raise_stack, capture_output=True, text=True,
+        timeout=3600)
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-2000:])
+    got = np.load(out)
+
     ref_j, orig_j = _frames(fw, fh)
-    mesh = pmesh.make_mesh(jax.devices()[:8])
+    spec2 = affine_me.StageSpec("full", 2, fw, fh)
+    single2 = affine_me.build_stage(spec2)
+    zeros = affine_me.zero_cpmvs(spec2)
+    c_s, p_s = single2(ref_j, orig_j, jnp.float32(LAM), zeros)
+    np.testing.assert_array_equal(np.asarray(c_s), got["c2"])
+    np.testing.assert_array_equal(np.asarray(p_s), got["p2"])
 
-    for mode in ("full",):
-        spec2 = affine_me.StageSpec(mode, 2, fw, fh)
-        single2 = affine_me.build_stage(spec2)
-        shard2 = pmesh.build_stage_sharded(spec2, mesh)
-        zeros = affine_me.zero_cpmvs(spec2)
-        c_s, p_s = single2(ref_j, orig_j, jnp.float32(LAM), zeros)
-        c_m, p_m = shard2(ref_j, orig_j, jnp.float32(LAM), zeros)
-        np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_m))
-        np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_m))
-
-        spec3 = affine_me.StageSpec(mode, 3, fw, fh)
-        shard3 = pmesh.build_stage_sharded(spec3, mesh)
-        single3 = affine_me.build_stage(spec3)
-        c3_s, p3_s = single3(ref_j, orig_j, jnp.float32(LAM), p_s)
-        c3_m, p3_m = shard3(ref_j, orig_j, jnp.float32(LAM), p_m)
-        np.testing.assert_array_equal(np.asarray(c3_s), np.asarray(c3_m))
-        np.testing.assert_array_equal(np.asarray(p3_s), np.asarray(p3_m))
+    spec3 = affine_me.StageSpec("full", 3, fw, fh)
+    single3 = affine_me.build_stage(spec3)
+    c3_s, p3_s = single3(ref_j, orig_j, jnp.float32(LAM), p_s)
+    np.testing.assert_array_equal(np.asarray(c3_s), got["c3"])
+    np.testing.assert_array_equal(np.asarray(p3_s), got["p3"])
 
 
 _CHILD_SRC = """
