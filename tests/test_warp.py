@@ -30,7 +30,8 @@ def _setup(seed, n_cls, dmax):
     ref = jnp.asarray(_mk(seed, 0, 1024, (FH * FW,)))
     dy = jnp.asarray(_mk(seed + 1, -dmax, dmax + 1, (n_ctu, n_cls, 32, 32)))
     dx = jnp.asarray(_mk(seed + 2, -dmax, dmax + 1, (n_ctu, n_cls, 32, 32)))
-    bank = np.asarray(C.LUMA_FILTER_4x4, np.int64)
+    # 6-tap convention: bank columns 1..6 (0 and 7 are zero in every phase)
+    bank = np.asarray(C.LUMA_FILTER_4x4, np.int64)[:, 1:7]
     fx = _mk(seed + 3, 0, 16, (n_ctu, n_cls, 32, 32))
     fy = _mk(seed + 4, 0, 16, (n_ctu, n_cls, 32, 32))
     hc = jnp.asarray(np.moveaxis(bank[fx], -1, 2).astype(np.int32))

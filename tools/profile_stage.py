@@ -59,6 +59,11 @@ def main():
     t = ap.build_tables(spec)
     dyn = ap.dyn_tables(t)
 
+    # the tunnel's fixed device->host scalar-fetch cost: subtract this
+    # floor from every number below to get real execution time
+    nullfn = jax.jit(lambda x: x + 1)
+    print(f"fetch floor: {timed(nullfn, jnp.int32(1))*1e3:8.2f} ms")
+
     prep = jax.jit(lambda r, o: ap.prep_inputs(spec, t, r, o))
     print(f"prep_inputs: {timed(prep, ref, orig)*1e3:8.2f} ms")
     tiles, orig16, ref_pl = prep(ref, orig)
@@ -88,6 +93,9 @@ def main():
     redfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig16,
                                               dyn.within, True))
     print(f"reduce_pred: {timed(redfn, pred.astype(jnp.int32))*1e3:8.2f} ms")
+    satdfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig16,
+                                               dyn.within, False))
+    print(f"  satd only: {timed(satdfn, pred.astype(jnp.int32))*1e3:8.2f} ms")
 
     _, M, rhs = redfn(pred.astype(jnp.int32))
     from vvc_affine_tpu.ops import solver as solver_ops

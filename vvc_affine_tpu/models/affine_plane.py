@@ -82,6 +82,7 @@ class DynTables(NamedTuple):
     within: jnp.ndarray  # bool  [nCtu, nCU]
     ctu_x: jnp.ndarray   # int32 [nCtu]
     ctu_y: jnp.ndarray
+    slab_act: jnp.ndarray  # int32 [nCtu, nBins, 16] (slab_activity)
 
 
 class EvalTelemetry(NamedTuple):
@@ -112,7 +113,7 @@ class PlaneTables(NamedTuple):
     bin_row_bot: np.ndarray
     bin_col_left: np.ndarray
     bin_col_right: np.ndarray
-    slab_active: np.ndarray            # int32 [n_bins, 1, 16]
+    slab_active: np.ndarray            # int32 [nCtus, n_bins, 16]
     strides: Tuple[int, ...]          # canonical per-class CU offsets
     cls: Tuple[P.ClassPlane, ...]
     # canonical per-CU tables [nCtu, nCU] / [nCU]
@@ -123,6 +124,35 @@ class PlaneTables(NamedTuple):
     cu_h: np.ndarray
     ctu_x: np.ndarray                 # [nCtu]
     ctu_y: np.ndarray
+
+
+def slab_activity(mode: str, within: np.ndarray) -> np.ndarray:
+    """Per-CTU slab activity int32 [nCtu, n_bins, 16] from the in-frame mask.
+
+    Slab k of a bin is active iff some within-frame CU of a class in the
+    bin covers block row 2k or 2k+1.  Beyond the static never-valid
+    half-aligned slabs, this skips the slabs of CUs cut off by the frame
+    boundary (the bottom CTU row loses 40-100% of its slabs at 1080p).
+    Bit-exact: inactive-slab outputs are unspecified, and every consumer
+    masks at CU level; Sobel never reads garbage because no within-CU
+    interior intersects an inactive slab and CU border rows are
+    replication-masked (_sobel_replicated).
+    """
+    lay = G.layout(mode)
+    cls = P.plane_layout(mode)
+    bins, bin_of = P.bin_layout(mode)
+    n_ctu = within.shape[0]
+    act = np.zeros((n_ctu, len(bins), 16), bool)
+    for ci, cp_tab in enumerate(cls):
+        c = lay.classes[ci]
+        s = lay.return_strides[ci]
+        w_cu = within[:, s:s + cp_tab.num_cus]          # [nCtu, num_cus]
+        rowcover = np.zeros((n_ctu, NB), bool)
+        for j, y0 in enumerate(c.ys):
+            b0y, sh = y0 // 4, c.height // 4
+            rowcover[:, b0y:b0y + sh] |= w_cu[:, j:j + 1]
+        act[:, int(bin_of[ci])] |= rowcover.reshape(n_ctu, 16, 2).any(-1)
+    return act.astype(np.int32)
 
 
 def build_tables(spec: PlaneSpec) -> PlaneTables:
@@ -151,13 +181,7 @@ def build_tables(spec: PlaneSpec) -> PlaneTables:
                 brb[bi, y0 + c.height - 1, x0:x0 + c.width] = True
                 bcl[bi, y0:y0 + c.height, x0] = True
                 bcr[bi, y0:y0 + c.height, x0 + c.width - 1] = True
-    slab_active = np.zeros((n_bins, 1, 16), np.int32)
-    for bi, ids in enumerate(bins):
-        valid = np.zeros((P.NB, P.NB), bool)
-        for ci in ids:
-            valid |= cls[ci].slot_valid
-        for k in range(16):
-            slab_active[bi, 0, k] = int(valid[2 * k:2 * k + 2].any())
+    slab_active = slab_activity(spec.mode, within)
     return PlaneTables(
         n_ctu_y=grid.ctu_rows, n_ctu_x=grid.ctu_cols, n_ctus=grid.num_ctus,
         n_cus=lay.cus_per_ctu, n_cls=len(lay.classes),
@@ -237,12 +261,17 @@ def _mv_planes(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, cpmvs):
 
 
 def _tap_planes(f):
-    """Phase plane [nCtu, nCls, NB, NB] -> taps [nCtu, nCls, 8, NB, NB]."""
-    bank = np.asarray(C.LUMA_FILTER_4x4, np.int32)     # [16, 8]
-    out = jnp.zeros(f.shape[:2] + (8,) + f.shape[2:], jnp.int32)
+    """Phase plane [nCtu, nCls, NB, NB] -> taps [nCtu, nCls, 6, NB, NB].
+
+    6-tap convention (ops/warp module docstring): the 4x4 affine filter
+    bank's first and last columns are zero in every phase, so only columns
+    1..6 are carried — 25% less tap-plane HBM traffic, bit-exact.
+    """
+    bank = np.asarray(C.LUMA_FILTER_4x4, np.int32)[:, 1:7]   # [16, 6]
+    out = jnp.zeros(f.shape[:2] + (6,) + f.shape[2:], jnp.int32)
     for p in range(16):
         sel = (f == p)[:, :, None]
-        out = jnp.where(sel, jnp.asarray(bank[p]).reshape(1, 1, 8, 1, 1), out)
+        out = jnp.where(sel, jnp.asarray(bank[p]).reshape(1, 1, 6, 1, 1), out)
     return out
 
 
@@ -314,9 +343,9 @@ def _zero_telem() -> EvalTelemetry:
 
 
 def _static_slab_mask(t: PlaneTables, n_ctu: int):
-    """[nCtu, nBins, 16] int32: the never-valid half-aligned slab skip."""
-    base = jnp.asarray(t.slab_active.reshape(1, t.n_bins, 16))
-    return jnp.broadcast_to(base, (n_ctu, t.n_bins, 16))
+    """[nCtu, nBins, 16] int32 slab activity (within-aware, per CTU)."""
+    assert n_ctu == t.slab_active.shape[0]
+    return jnp.asarray(t.slab_active)
 
 
 def _esc_slab_mask(esc_blk):
@@ -384,8 +413,8 @@ def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
         g2 = byi * NB + bxi
         dy_f = dy.reshape(-1)[flat_idx]
         dx_f = dx.reshape(-1)[flat_idx]
-        hc_f = hc.reshape(-1, 8, NB * NB)[g1, :, g2]  # [E, 8]
-        vc_f = vc.reshape(-1, 8, NB * NB)[g1, :, g2]
+        hc_f = hc.reshape(-1, 6, NB * NB)[g1, :, g2]  # [E, 6]
+        vc_f = vc.reshape(-1, 6, NB * NB)[g1, :, g2]
         y_blk = dyn.ctu_y[ti] + 4 * byi
         x_blk = dyn.ctu_x[ti] + 4 * bxi
         blocks = warp_ops.predict_blocks_flat(
@@ -442,10 +471,10 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
         # its whole-frame fallback, so the dispatch is exact for ANY
         # displacements.
         ladder = spec.r_ladder
-        act_static = _static_slab_mask(t, dy.shape[0])
+        act_static = dyn.slab_act
         if len(ladder) == 1:
             pred = _warp_kernel_only(spec, t, tiles, dy, dx, hc, vc,
-                                     ladder[0])
+                                     ladder[0], act_static)
             pred, telem = _escape_fixup(
                 spec, t, dyn, ref_flat, pred, dy, dx, hc, vc,
                 jnp.int32(ladder[0]))
@@ -457,7 +486,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
                 # per-slab arithmetic weight of the R=r kernel: the Ht
                 # select field (NS x NR) plus roughly fixed mask/select/
                 # filter work (see ops/warp._warp_kernel)
-                return (2 * r + 8) * (2 * r + 14) + 150
+                return (2 * r + 6) * (2 * r + 9) + 130
 
             n_slabs = act_static.sum()
             costs = []
@@ -654,7 +683,8 @@ def dyn_tables(t: PlaneTables) -> DynTables:
     return DynTables(
         abs_x=jnp.asarray(t.abs_x), abs_y=jnp.asarray(t.abs_y),
         within=jnp.asarray(t.within),
-        ctu_x=jnp.asarray(t.ctu_x), ctu_y=jnp.asarray(t.ctu_y))
+        ctu_x=jnp.asarray(t.ctu_x), ctu_y=jnp.asarray(t.ctu_y),
+        slab_act=jnp.asarray(t.slab_active))
 
 
 def _stage_core(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,

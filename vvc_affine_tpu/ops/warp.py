@@ -27,6 +27,14 @@ Bit-exactness: both paths reproduce VTM's first/last-pass offset/shift
 scheme exactly in int32 (aux_functions.cl:1121-1195); the padded plane's
 edge replication is provably identical to the reference's per-sample
 clamp-to-edge window correction (affine.cl:288-326).
+
+6-tap convention: the VTM 4x4 affine filter bank (m_lumaFilter4x4,
+constants.cl:40-58) has ZERO first and last taps in every one of its 16
+phases, so the nominal 8-tap filter is effectively 6-tap.  The reference
+MACs all 8 taps anyway (aux_functions.cl:1121-1195); skipping the two zero
+coefficients is bit-exact and shrinks every hot dimension: hc/vc carry 6
+coefficients (bank columns 1..6), windows are 9x9 (not 11x11), the Pallas
+select support is NS = 2R+6 and the candidate-row field NR = 2R+9.
 """
 
 from __future__ import annotations
@@ -51,8 +59,8 @@ MAX_R = 16   # tile geometry supports |displacement| bound R up to this
 # Per-CTU reference tile geometry: tile[i] = refpad[128 ty + PAD - TILE_TOP :
 # + TILE_H, 128 tx : + TILE_W] for CTU i = ty * n_ctu_x + tx, so CTU sample
 # (r, c) sits at tile (r + TILE_TOP, c + TILE_LEFT).  Row reach per 4x4 block
-# at block-row by with |dy| <= R is [4 by - R - 3, 4 by + R + 12); column
-# reach is [c - R - 3, c + R + 5) — both inside the tile for R <= MAX_R.
+# at block-row by with |dy| <= R is [4 by - R - 2, 4 by + R + 7); column
+# reach is [c - R - 2, c + R + 4) — both inside the tile for R <= MAX_R.
 TILE_TOP = 24
 TILE_LEFT = PAD
 TILE_H = 176
@@ -87,15 +95,17 @@ def build_refpad(ref_flat, frame_w: int, frame_h: int,
 
 
 def filter_blocks(win, hc, vc):
-    """Separable 8-tap over 11x11 windows with explicit per-block taps.
+    """Separable 6-tap over 9x9 windows with explicit per-block taps.
 
-    win: int32 [..., 11, 11]; hc/vc: int32 [..., 8].
+    win: int32 [..., 9, 9] starting at displacement offset -2 (see
+    warp_xla); hc/vc: int32 [..., 6] (filter-bank columns 1..6 — columns 0
+    and 7 are zero in every phase, so this is the full 8-tap result).
     Returns int32 [..., 4, 4] clipped to [0, 1023].
     """
     tmp = None
     for c in range(4):
         acc = win[..., :, c] * hc[..., None, 0]
-        for t in range(1, 8):
+        for t in range(1, 6):
             acc = acc + win[..., :, c + t] * hc[..., None, t]
         col = (acc + _OFF1) >> _SHIFT1
         tmp = col[..., None] if tmp is None else jnp.concatenate(
@@ -103,7 +113,7 @@ def filter_blocks(win, hc, vc):
     out = None
     for r in range(4):
         acc = tmp[..., r, :] * vc[..., None, 0]
-        for t in range(1, 8):
+        for t in range(1, 6):
             acc = acc + tmp[..., r + t, :] * vc[..., None, t]
         row = (acc + _OFF2) >> _SHIFT2
         out = row[..., None, :] if out is None else jnp.concatenate(
@@ -116,21 +126,22 @@ def warp_xla(ref_flat, frame_w: int, frame_h: int, ctu_y, ctu_x,
     """Exact dense warp via clamped gather; any displacement.
 
     ref_flat: int32 [fh*fw]; ctu_y/ctu_x: int32 [nCtu] CTU corners;
-    dy/dx: int32 [nCtu, nCls, NB, NB]; hc/vc: int32 [nCtu, nCls, 8, NB, NB].
+    dy/dx: int32 [nCtu, nCls, NB, NB]; hc/vc: int32 [nCtu, nCls, 6, NB, NB]
+    (6-tap convention, see module docstring).
     Returns int32 [nCtu, nCls, 128, 128].
     """
     n_ctu, n_cls = dy.shape[:2]
-    taps = jnp.arange(11, dtype=jnp.int32)
+    taps = jnp.arange(9, dtype=jnp.int32)
     planes = []
     for ci in range(n_cls):
         by = ctu_y[:, None, None] + 4 * jnp.arange(NB, dtype=jnp.int32)[:, None]
         bx = ctu_x[:, None, None] + 4 * jnp.arange(NB, dtype=jnp.int32)[None, :]
-        y0 = by + dy[:, ci] - 3
-        x0 = bx + dx[:, ci] - 3
+        y0 = by + dy[:, ci] - 2
+        x0 = bx + dx[:, ci] - 2
         ys = clamp(y0[..., None] + taps, 0, frame_h - 1)
         xs = clamp(x0[..., None] + taps, 0, frame_w - 1)
         idx = ys[..., :, None] * frame_w + xs[..., None, :]
-        win = jnp.take(ref_flat, idx, mode="clip")      # [nCtu, NB, NB, 11, 11]
+        win = jnp.take(ref_flat, idx, mode="clip")      # [nCtu, NB, NB, 9, 9]
         hcc = jnp.moveaxis(hc[:, ci], 1, -1)            # [nCtu, NB, NB, 8]
         vcc = jnp.moveaxis(vc[:, ci], 1, -1)
         pred = filter_blocks(win, hcc, vcc)             # [nCtu, NB, NB, 4, 4]
@@ -168,10 +179,14 @@ def build_tiles(refpad, n_ctu_y: int, n_ctu_x: int):
 
 
 def _warp_kernel(R: int):
-    NS = 2 * R + 8           # HMASK support: s = dx + t - 3 in [-R-3, R+4]
-    S0 = -(R + 3)
-    NR = 2 * R + 14          # candidate rows (padded for the radix-4 select)
-    SLAB_H = -(-(R + 39) // 8) * 8   # max row touched: RLO(j=1) + NR = R+39
+    # 6-tap support (see module docstring): s = dx + t - 3, t in [1, 6]
+    NS = 2 * R + 6           # HMASK support: s in [-R-2, R+3]
+    S0 = -(R + 2)
+    DIRECT_DY = 2 * R + 1 <= 5
+    # candidate rows: W rows [1, 10) shifted by dy in [0, 2R]; the radix-4
+    # dy-select's coarse window reads ht[4*(2R//4) : +12], so NR pads up
+    NR = (2 * R + 9) if DIRECT_DY else (4 * ((2 * R) // 4) + 12)
+    SLAB_H = -(-(26 - R + NR) // 8) * 8   # max row touched: RLO(j=1)+NR-1
 
     def kernel(act_ref, dy_ref, dx_ref, hc_ref, vc_ref, tile_ref, out_ref,
                rows8):
@@ -187,20 +202,20 @@ def _warp_kernel(R: int):
                 dxl = dx_ref[0, 0, pl.ds(sy, 1), :]
 
                 # ---- HMASK: fused dx-select + horizontal taps ----
-                # NB: must be `- (R+3)`, not `+ S0`: an add with a negative
+                # NB: must be `- (R+2)`, not `+ S0`: an add with a negative
                 # i32 constant sends Mosaic's convert lowering into infinite
                 # recursion (jax 0.9.0)
                 srow = jax.lax.broadcasted_iota(
-                    jnp.int32, (NS, 128), 0) - (R + 3)
+                    jnp.int32, (NS, 128), 0) - (R + 2)
                 tsel = srow - dxl + 3
                 hmask = jnp.zeros((NS, 128), jnp.int32)
-                for t in range(8):
-                    hct = hc_ref[0, 0, t, pl.ds(sy, 1), :]
+                for t in range(1, 7):
+                    hct = hc_ref[0, 0, t - 1, pl.ds(sy, 1), :]
                     hmask = jnp.where(tsel == t, hct, hmask)
 
                 # ---- Ht: horizontal filter at all candidate rows ----
-                # candidate rows rel slab: [4j + 21 - R, 4j + 35 + R)
-                RLO = 4 * j + 21 - R
+                # candidate rows rel slab: [4j + 22 - R, 4j + 31 + R)
+                RLO = 4 * j + 22 - R
                 ht = jnp.zeros((NR, 128), jnp.int32)
                 for si in range(NS):
                     s = S0 + si
@@ -209,24 +224,28 @@ def _warp_kernel(R: int):
                     ht = ht + seg * hmask[si:si + 1, :]
                 ht = (ht + _OFF1) >> _SHIFT1
 
-                # ---- dy-select: W[wy, x] = Ht[R + dy(x) + wy, x] ----
-                # radix-4 split: coarse (ceil((2R+1)/4) selects of 14 rows)
-                # then fine (4 selects of 11 rows) instead of 2R+1 selects
+                # ---- dy-select: w9[wy, x] = Ht[dy(x) + R + wy, x] ----
+                # direct (2R+1 selects of 9 rows) for small R; radix-4
+                # (coarse selects of 12 rows + 4 selects of 9) beyond
                 dq = dyl + R
-                NCOARSE = (2 * R) // 4 + 1
-                htc = jnp.zeros((14, 128), jnp.int32)
-                for cq in range(NCOARSE):
-                    htc = jnp.where(dq // 4 == cq, ht[4 * cq:4 * cq + 14, :],
-                                    htc)
-                w = jnp.zeros((11, 128), jnp.int32)
-                for fq in range(4):
-                    w = jnp.where(dq % 4 == fq, htc[fq:fq + 11, :], w)
+                w = jnp.zeros((9, 128), jnp.int32)
+                if DIRECT_DY:
+                    for d in range(2 * R + 1):
+                        w = jnp.where(dq == d, ht[d:d + 9, :], w)
+                else:
+                    NCOARSE = (2 * R) // 4 + 1
+                    htc = jnp.zeros((12, 128), jnp.int32)
+                    for cq in range(NCOARSE):
+                        htc = jnp.where(dq // 4 == cq,
+                                        ht[4 * cq:4 * cq + 12, :], htc)
+                    for fq in range(4):
+                        w = jnp.where(dq % 4 == fq, htc[fq:fq + 9, :], w)
 
-                # ---- vertical filter ----
+                # ---- vertical filter (6 taps: w9 rows [u, u+4)) ----
                 pred = jnp.zeros((4, 128), jnp.int32)
-                for t in range(8):
-                    vct = vc_ref[0, 0, t, pl.ds(sy, 1), :]
-                    pred = pred + w[t:t + 4, :] * vct
+                for u in range(6):
+                    vct = vc_ref[0, 0, u, pl.ds(sy, 1), :]
+                    pred = pred + w[u:u + 4, :] * vct
                 pred = (pred + _OFF2) >> _SHIFT2
                 # int32 bounds: with jax_enable_x64 on, python-int clip
                 # bounds become i64 scalars, and i64->i32 converts inside a
@@ -276,8 +295,8 @@ def _warp_pallas_fn(n_ctu: int, n_cls: int, R: int, interpret: bool):
             pl.BlockSpec((1, 1, 1, 16), im_act, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, NB, 128), im_tap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, NB, 128), im_tap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 6, NB, 128), im_tap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 6, NB, 128), im_tap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, TILE_W), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -302,7 +321,7 @@ def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
 
     tiles: int16 [nCtu, TILE_H, TILE_W] from build_tiles; dy_l/dx_l: int32
     [nCtu, nCls, NB, 128] (lane-expanded, see expand_lanes); hc_l/vc_l:
-    int32 [nCtu, nCls, 8, NB, 128]; slab_active: optional int32
+    int32 [nCtu, nCls, 6, NB, 128]; slab_active: optional int32
     [nCtu, nCls, 16] per-(CTU, class, 8-row slab) work mask — slabs with 0
     are skipped and their output rows are unspecified (used both for the
     static never-valid slabs of half-aligned classes and for the dynamic
@@ -330,14 +349,14 @@ def predict_blocks_flat(ref_flat, frame_w: int, frame_h: int,
     """Exact prediction of E individual 4x4 blocks (the escape fix-up).
 
     y_blk/x_blk: int32 [E] absolute block corners; dy/dx: int32 [E]
-    displacements (any magnitude); hc/vc: int32 [E, 8] taps.
+    displacements (any magnitude); hc/vc: int32 [E, 6] taps.
     Returns int32 [E, 4, 4].
     """
-    taps = jnp.arange(11, dtype=jnp.int32)
-    y0 = y_blk + dy - 3
-    x0 = x_blk + dx - 3
+    taps = jnp.arange(9, dtype=jnp.int32)
+    y0 = y_blk + dy - 2
+    x0 = x_blk + dx - 2
     ys = clamp(y0[:, None] + taps, 0, frame_h - 1)
     xs = clamp(x0[:, None] + taps, 0, frame_w - 1)
     idx = ys[:, :, None] * frame_w + xs[:, None, :]
-    win = jnp.take(ref_flat, idx, mode="clip")          # [E, 11, 11]
+    win = jnp.take(ref_flat, idx, mode="clip")          # [E, 9, 9]
     return filter_blocks(win, hc, vc)

@@ -105,7 +105,8 @@ def _padded_dyn_tables(spec: affine_plane.PlaneSpec, t, n_pad: int):
         abs_x=jnp.asarray(abs_x.astype(np.int32)),
         abs_y=jnp.asarray(abs_y.astype(np.int32)),
         within=jnp.asarray(within),
-        ctu_x=jnp.asarray(ctu_x), ctu_y=jnp.asarray(ctu_y))
+        ctu_x=jnp.asarray(ctu_x), ctu_y=jnp.asarray(ctu_y),
+        slab_act=jnp.asarray(affine_plane.slab_activity(spec.mode, within)))
 
 
 def build_plane_stage_sharded(spec: affine_plane.PlaneSpec, mesh: Mesh,
