@@ -220,27 +220,27 @@ def _mv_planes(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, cpmvs):
         base_x = cp[..., 0, 0] << (C.MAX_CU_DEPTH - 4 + 4)
         base_y = cp[..., 0, 1] << (C.MAX_CU_DEPTH - 4 + 4)
         w_cu = dyn.within[:, sl]
-        zero = jnp.int32(0)
-        vals = [jnp.where(w_cu, v, zero)
-                for v in (hx, hy, vx, vy, base_x, base_y)]
-        hxp, hyp, vxp, vyp, bxp, byp = [
-            P.spread_cu_to_slots(jnp, v, cp_tab) for v in vals]
-        sprp = P.spread_cu_to_slots(
-            jnp, (spread & w_cu).astype(jnp.int32), cp_tab).astype(bool)
+        # ONE spread per class: stack all ten per-CU values on a leading
+        # batch axis (spread_cu_to_slots handles batch dims), with the
+        # out-of-frame zeroing applied once on the stacked array
+        stacked = jnp.stack(
+            [hx, hy, vx, vy, base_x, base_y,
+             (spread & w_cu).astype(jnp.int32),
+             dyn.abs_x[:, sl], dyn.abs_y[:, sl],
+             w_cu.astype(jnp.int32)], axis=1)       # [nCtu, 10, num_cus]
+        stacked = jnp.where(w_cu[:, None], stacked, jnp.int32(0))
+        sp = P.spread_cu_to_slots(jnp, stacked, cp_tab)  # [nCtu, 10, NB, NB]
+        hxp, hyp, vxp, vyp, bxp, byp = [sp[:, i] for i in range(6)]
+        sprp = sp[:, 6].astype(bool)
+        pux, puy = sp[:, 7], sp[:, 8]
         cxs = jnp.where(sprp, cp_tab.width // 2, jnp.asarray(cp_tab.slot_cx))
         cys = jnp.where(sprp, cp_tab.height // 2, jnp.asarray(cp_tab.slot_cy))
         mvx = bxp + hxp * cxs + vxp * cys
         mvy = byp + hyp * cxs + vyp * cys
         # clip bounds use the CU corner position (aux_functions.cl:90-101)
-        pux = P.spread_cu_to_slots(
-            jnp, jnp.where(w_cu, dyn.abs_x[:, sl], zero), cp_tab)
-        puy = P.spread_cu_to_slots(
-            jnp, jnp.where(w_cu, dyn.abs_y[:, sl], zero), cp_tab)
         mvx, mvy = mv_ops.round_and_clip_mv(
             mvx, mvy, pux, puy, spec.frame_w, spec.frame_h)
-        validp = jnp.asarray(cp_tab.slot_valid)
-        wslot = P.spread_cu_to_slots(
-            jnp, w_cu.astype(jnp.int32), cp_tab).astype(bool) & validp
+        wslot = sp[:, 9].astype(bool) & jnp.asarray(cp_tab.slot_valid)
         mvx = jnp.where(wslot, mvx, 0)
         mvy = jnp.where(wslot, mvy, 0)
         dys.append(mvy >> 4)
@@ -316,10 +316,18 @@ def _block_sums(x):
 
 
 def _blocks16(x):
-    """[..., 128, 128] -> [..., NB, NB, 16] row-major 4x4 blocks."""
+    """[..., 128, 128] -> [..., 16, NB*NB] 4x4 blocks, sample-major.
+
+    Entry [..., 4r+c, by*NB+bx] = sample (r, c) of block (by, bx).  The
+    sample index leads so that per-sample arithmetic (SATD butterflies,
+    moment products, sums over the 16 samples) runs on [..., NB*NB]
+    vectors — 1024 contiguous lanes — instead of on [..., NB, NB] arrays
+    whose 32-wide trailing dim wastes 3/4 of every TPU vector register.
+    """
     s = x.reshape(x.shape[:-2] + (NB, 4, NB, 4))
-    s = jnp.moveaxis(s, -3, -2)
-    return s.reshape(x.shape[:-2] + (NB, NB, 16))
+    s = s.transpose(tuple(range(x.ndim - 2)) + tuple(
+        x.ndim - 2 + k for k in (1, 3, 0, 2)))
+    return s.reshape(x.shape[:-2] + (16, NB * NB))
 
 
 def _factor_planes(cp_tab: P.ClassPlane, n_cp: int):
@@ -541,8 +549,9 @@ def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig16, within_j,
     """
     one_bin = pred.shape[1] == 1
     # ---- SATD per block, reduced per CU --------------------------------
-    pred16 = _blocks16(pred)                       # [nCtu, nBin, NB, NB, 16]
-    sb_satd = satd_ops.satd_4x4(orig16[:, None], pred16)
+    pred16 = _blocks16(pred)                       # [nCtu, nBin, 16, NB*NB]
+    sb_satd = satd_ops.satd_4x4(orig16[:, None], pred16, sample_axis=-2)
+    sb_satd = sb_satd.reshape(sb_satd.shape[:-1] + (NB, NB))
     satd_cols = []
     for ci, cp_tab in enumerate(t.cls):
         bi = 0 if one_bin else int(t.bin_of[ci])
@@ -568,15 +577,19 @@ def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig16, within_j,
         err16 = orig16 - _blocks16(plane)
         # moments per block (int32-exact: |g|<=4*1023, 16 samples); pred
         # planes may arrive int16 (10-bit samples, half the HBM traffic),
-        # so the products are cast up explicitly
+        # so the products are cast up explicitly.  Blocks are sample-major
+        # [.., 16, NB*NB]: products/sums run on 1024-lane vectors, the
+        # [NB, NB] plane shape is restored only for the per-CU reduction.
         gx16 = _blocks16(gx).astype(jnp.int32)
         gy16 = _blocks16(gy).astype(jnp.int32)
+
+        def _m(prod):
+            return prod.sum(-2).reshape(
+                prod.shape[:-2] + (NB, NB)).astype(jnp.int64)
+
         moments.append((
-            (gx16 * gx16).sum(-1).astype(jnp.int64),
-            (gx16 * gy16).sum(-1).astype(jnp.int64),
-            (gy16 * gy16).sum(-1).astype(jnp.int64),
-            (gx16 * err16).sum(-1).astype(jnp.int64),
-            (gy16 * err16).sum(-1).astype(jnp.int64),
+            _m(gx16 * gx16), _m(gx16 * gy16), _m(gy16 * gy16),
+            _m(gx16 * err16), _m(gy16 * err16),
         ))
     M_cols, rhs_cols = [], []
     for ci, cp_tab in enumerate(t.cls):

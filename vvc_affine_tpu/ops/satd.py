@@ -7,14 +7,23 @@ aux_functions.cl:1940-2043.  All arithmetic int32-exact.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
-def satd_4x4(orig, pred):
-    """orig/pred: int32 [..., 16] row-major 4x4 -> SATD int32 [...]."""
-    d = orig - pred  # [..., 16]
+def satd_4x4(orig, pred, sample_axis: int = -1):
+    """Row-major 4x4 SATD, int32.
+
+    orig/pred carry the 16 samples of each block along ``sample_axis``
+    (default last).  The dense engine passes [..., 16, nBlocks] with
+    sample_axis=-2: the per-sample butterflies then run on full-width
+    block vectors (the TPU lane dimension), not on the 16-element sample
+    axis.  Returns SATD with ``sample_axis`` removed.
+    """
+    d = orig - pred
+    ax = sample_axis if sample_axis >= 0 else d.ndim + sample_axis
 
     def col(i):
-        return d[..., i]
+        return lax.index_in_dim(d, i, axis=ax, keepdims=False)
 
     m = [None] * 16
     for k in range(4):

@@ -156,7 +156,8 @@ def build_plane_stage_sharded(spec: affine_plane.PlaneSpec, mesh: Mesh,
             spec, t, ref_flat, orig_flat)
         if pad:
             tiles = jnp.pad(tiles, ((0, pad), (0, 0), (0, 0)))
-            orig16 = jnp.pad(orig16, ((0, pad),) + ((0, 0),) * 3)
+            orig16 = jnp.pad(orig16,
+                             ((0, pad),) + ((0, 0),) * (orig16.ndim - 1))
             ref_pl = jnp.pad(ref_pl, ((0, pad), (0, 0), (0, 0)))
         return sharded(dyn_padded, tiles, orig16, ref_pl, prev_padded,
                        ref_flat, lam)
