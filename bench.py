@@ -51,10 +51,15 @@ def run_workload(fw, fh, n_iters):
     orig = jnp.asarray(orig_np.ravel())
     lam = jnp.float32(78.949063)  # QP32, POC1
 
+    # A/B knobs: MXU block-reduction path (ops.blockstat) and int16 tap
+    # planes; bit-exact either way, so these only move the number
+    mxu = os.environ.get("VVC_BENCH_MXU", "0") == "1"
+    i16 = os.environ.get("VVC_BENCH_I16", "0") == "1"
     stages = {}
     for mode in ("full", "half"):
         for n_cp in (2, 3):
-            spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh)
+            spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh,
+                                          mxu_reduce=mxu, i16_taps=i16)
             stages[(mode, n_cp)] = affine_plane.build_stage(spec)
     zeros = {
         mode: affine_plane.zero_cpmvs(affine_plane.PlaneSpec(mode, 2, fw, fh))

@@ -10,6 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from tests._child import run_in_child
+
 from vvc_affine_tpu import constants as C
 from vvc_affine_tpu import geometry as G
 from vvc_affine_tpu.ops import interp as interp_ops
@@ -114,12 +116,14 @@ def _eval_setup(seed):
 
 
 def _eval(ap, spec, t, ref, orig, cp):
-    tiles, orig16, _ = ap.prep_inputs(spec, t, ref, orig)
+    tiles, orig_pl, _ = ap.prep_inputs(spec, t, ref, orig)
     satd, _, _, telem = ap._evaluate(
-        spec, t, ap.dyn_tables(t), ref, tiles, orig16, cp, False)
+        spec, t, ap.dyn_tables(t), ref, tiles, ap._orig_forms(spec, orig_pl),
+        cp, False)
     return satd, telem
 
 
+@run_in_child
 def test_escape_fallback_exact():
     """Beyond-budget escapes trigger the exact whole-frame fallback."""
     from vvc_affine_tpu.models import affine_plane as ap
@@ -140,6 +144,7 @@ def test_escape_fallback_exact():
     assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
 
 
+@run_in_child
 def test_escape_scatter_exact():
     """A handful of escaped CUs go through the two-level compaction +
     per-block exact fix-up scatter (NOT the whole-frame fallback), and the
@@ -165,6 +170,7 @@ def test_escape_scatter_exact():
     assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
 
 
+@run_in_child
 def test_adaptive_dispatch_exact():
     """The R-ladder dispatcher is exact at every rung boundary."""
     from vvc_affine_tpu.models import affine_plane as ap
@@ -198,3 +204,20 @@ def test_adaptive_dispatch_exact():
     s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
     assert int(telem.n_escapes) > 0 and int(telem.n_fallbacks) == 0
     assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
+
+
+def test_warp_pallas_i16_taps():
+    """int16 tap planes produce bit-identical kernel output (the kernel
+    widens at load); exercises the i16_taps perf knob's kernel semantics."""
+    R = 4
+    grid, ref, ctu_y, ctu_x, dy, dx, hc, vc, _, _ = _setup(77, 2, R)
+    args = (_tiles_of(ref, grid),
+            warp_ops.expand_lanes(dy), warp_ops.expand_lanes(dx))
+    want = np.asarray(warp_ops.warp_pallas(
+        *args, warp_ops.expand_lanes(hc), warp_ops.expand_lanes(vc),
+        R=R, interpret=True))
+    got = np.asarray(warp_ops.warp_pallas(
+        *args, warp_ops.expand_lanes(hc.astype(jnp.int16)),
+        warp_ops.expand_lanes(vc.astype(jnp.int16)),
+        R=R, interpret=True))
+    assert np.array_equal(want, got)

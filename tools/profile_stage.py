@@ -48,14 +48,17 @@ def main():
     from vvc_affine_tpu.models import affine_plane as ap
     from vvc_affine_tpu.ops import warp as warp_ops
 
-    res = sys.argv[1] if len(sys.argv) > 1 else "1920x1080"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    res = pos[0] if pos else "1920x1080"
     fw, fh = (int(v) for v in res.split("x"))
     rng = np.random.default_rng(0)
     ref = jnp.asarray(rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
     orig = jnp.asarray(rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
     lam = jnp.float32(78.949063)
 
-    spec = ap.PlaneSpec("full", 2, fw, fh)
+    mxu = "--mxu" in sys.argv
+    i16 = "--i16taps" in sys.argv
+    spec = ap.PlaneSpec("full", 2, fw, fh, mxu_reduce=mxu, i16_taps=i16)
     t = ap.build_tables(spec)
     dyn = ap.dyn_tables(t)
 
@@ -66,7 +69,8 @@ def main():
 
     prep = jax.jit(lambda r, o: ap.prep_inputs(spec, t, r, o))
     print(f"prep_inputs: {timed(prep, ref, orig)*1e3:8.2f} ms")
-    tiles, orig16, ref_pl = prep(ref, orig)
+    tiles, orig_pl, ref_pl = prep(ref, orig)
+    orig = ap._orig_forms(spec, orig_pl)
 
     # motion planes at a fixed small CPMV (rung-1 territory)
     cp = jnp.full((t.n_ctus, t.n_cus, 3, 2), 52, jnp.int32)  # 3.25 px
@@ -74,7 +78,9 @@ def main():
     mvfn = jax.jit(lambda c: ap._mv_planes(spec, t, dyn, c))
     print(f"mv_planes:   {timed(mvfn, cp)*1e3:8.2f} ms")
     dy, dx, fx, fy = mvfn(cp)
-    tapfn = jax.jit(lambda a, b: (ap._tap_planes(a), ap._tap_planes(b)))
+    import jax.numpy as _jnp
+    td = _jnp.int16 if i16 else _jnp.int32
+    tapfn = jax.jit(lambda a, b: (ap._tap_planes(a, td), ap._tap_planes(b, td)))
     print(f"tap_planes:  {timed(tapfn, fx, fy)*1e3:8.2f} ms")
     hc, vc = tapfn(fx, fy)
 
@@ -90,10 +96,10 @@ def main():
         spec, t, dyn, ref, p, a, b, c, d, jnp.int32(8)))
     print(f"escape_fix:  {timed(fixfn, pred, dy, dx, hc, vc)*1e3:8.2f} ms")
 
-    redfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig16,
+    redfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig,
                                               dyn.within, True))
     print(f"reduce_pred: {timed(redfn, pred.astype(jnp.int32))*1e3:8.2f} ms")
-    satdfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig16,
+    satdfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig,
                                                dyn.within, False))
     print(f"  satd only: {timed(satdfn, pred.astype(jnp.int32))*1e3:8.2f} ms")
 
@@ -102,7 +108,7 @@ def main():
     solfn = jax.jit(lambda M, r: solver_ops.solve_affine(M, r, 2))
     print(f"solver:      {timed(solfn, M, rhs)*1e3:8.2f} ms")
 
-    evfn = jax.jit(lambda c: ap._evaluate(spec, t, dyn, ref, tiles, orig16,
+    evfn = jax.jit(lambda c: ap._evaluate(spec, t, dyn, ref, tiles, orig,
                                           c, True))
     print(f"evaluate:    {timed(evfn, cp)*1e3:8.2f} ms")
 

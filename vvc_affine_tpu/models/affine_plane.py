@@ -35,6 +35,7 @@ from jax import lax
 from vvc_affine_tpu import constants as C
 from vvc_affine_tpu import geometry as G
 from vvc_affine_tpu import planes as P
+from vvc_affine_tpu.ops import blockstat as blockstat_ops
 from vvc_affine_tpu.ops import cost as cost_ops
 from vvc_affine_tpu.ops import mv as mv_ops
 from vvc_affine_tpu.ops import satd as satd_ops
@@ -61,6 +62,17 @@ class PlaneSpec:
     # fit the escape fix-up budget; exactness-neutral (every rung is exact
     # for the inputs it is chosen for), so this is purely a perf knob
     adaptive: bool = True
+    # explicit dispatcher ladder override (ascending, capped by R); None ->
+    # the default (1, 2, 4, R).  Perf knob only — any ladder is exact.
+    ladder: Optional[Tuple[int, ...]] = None
+    # per-block reductions (SATD / moments) through ops.blockstat (MXU
+    # matmul forms, no plane transposes) instead of the sample-major VPU
+    # path; bit-exact either way (blockstat docstring) — a perf knob
+    mxu_reduce: bool = False
+    # int16 tap planes (halves the largest per-evaluate tensors; the warp
+    # kernel widens at load).  Exactness-neutral; default off until the
+    # Mosaic int16 single-sublane dynamic loads are validated on hardware.
+    i16_taps: bool = False
 
     @property
     def num_gradient_iters(self) -> int:
@@ -71,7 +83,10 @@ class PlaneSpec:
         """Ascending kernel displacement bounds tried by the dispatcher."""
         if not self.adaptive:
             return (self.R,)
-        return tuple(r for r in (1, 2, 4) if r < self.R) + (self.R,)
+        base = self.ladder if self.ladder is not None else (1, 2, 4)
+        rungs = tuple(r for r in base if r < self.R)
+        assert rungs == tuple(sorted(set(rungs)))
+        return rungs + (self.R,)
 
 
 class DynTables(NamedTuple):
@@ -260,15 +275,19 @@ def _mv_planes(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, cpmvs):
     return binned(dys), binned(dxs), binned(fxs), binned(fys)
 
 
-def _tap_planes(f):
+def _tap_planes(f, dtype=jnp.int32):
     """Phase plane [nCtu, nCls, NB, NB] -> taps [nCtu, nCls, 6, NB, NB].
 
     6-tap convention (ops/warp module docstring): the 4x4 affine filter
     bank's first and last columns are zero in every phase, so only columns
-    1..6 are carried — 25% less tap-plane HBM traffic, bit-exact.
+    1..6 are carried — 25% less tap-plane HBM traffic, bit-exact.  With
+    dtype=int16 (coefficients are in [-11, 58]) the tap planes — the
+    largest per-evaluate tensors — halve again, and every consumer promotes
+    exactly (the Pallas kernel converts to int32 at load; XLA paths promote
+    in the multiply).
     """
-    bank = np.asarray(C.LUMA_FILTER_4x4, np.int32)[:, 1:7]   # [16, 6]
-    out = jnp.zeros(f.shape[:2] + (6,) + f.shape[2:], jnp.int32)
+    bank = np.asarray(C.LUMA_FILTER_4x4, np.dtype(dtype))[:, 1:7]  # [16, 6]
+    out = jnp.zeros(f.shape[:2] + (6,) + f.shape[2:], dtype)
     for p in range(16):
         sel = (f == p)[:, :, None]
         out = jnp.where(sel, jnp.asarray(bank[p]).reshape(1, 1, 6, 1, 1), out)
@@ -356,13 +375,6 @@ def _static_slab_mask(t: PlaneTables, n_ctu: int):
     return jnp.asarray(t.slab_active)
 
 
-def _esc_slab_mask(esc_blk):
-    """Per-block escape flags [nCtu, nB, NB, NB] -> per-slab any
-    [nCtu, nB, 16] (slab k = block rows 2k, 2k+1)."""
-    n_ctu, nb = esc_blk.shape[:2]
-    return esc_blk.reshape(n_ctu, nb, 16, 2, NB).any(axis=(-2, -1))
-
-
 def _warp_kernel_only(spec: PlaneSpec, t: PlaneTables, tiles,
                       dy, dx, hc, vc, R: int, slab_active=None):
     if slab_active is None:
@@ -376,16 +388,20 @@ def _warp_kernel_only(spec: PlaneSpec, t: PlaneTables, tiles,
 
 
 def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
-                  pred, dy, dx, hc, vc, rt):
+                  pred, dy, dx, hc, vc, rt, admax=None):
     """Exact per-block recompute of every block displaced beyond ``rt``.
 
     ``rt`` is the (possibly traced) displacement bound of the kernel that
     produced ``pred`` — the threshold is data, so ONE fix-up graph serves
     every dispatch rung (a per-rung copy triples XLA's scoped-vmem use of
-    the compaction cumsums and overflows it).
+    the compaction cumsums and overflows it).  ``admax`` (optional) is the
+    precomputed per-block max |displacement| — the dispatcher already has
+    it, so the abs maps aren't recomputed here.
     """
     n_bins = dy.shape[1]
-    esc = (jnp.abs(dy) > rt) | (jnp.abs(dx) > rt)
+    if admax is None:
+        admax = jnp.maximum(jnp.abs(dy), jnp.abs(dx))
+    esc = admax > rt
     n_esc = esc.sum()
     # Escaped blocks (|d| > rt; the kernel's masked selects miss and
     # leave garbage there) are recomputed exactly one-by-one and
@@ -453,14 +469,16 @@ def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
 
 
 def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
-              tiles, orig16, cpmvs, refine: bool):
+              tiles, orig, cpmvs, refine: bool):
     """One prediction pass.
 
+    ``orig`` is the (orig_pl, orig16) pair from ``_orig_forms``.
     Returns (satd [nCtu,nCU] i64, M, rhs | None, telem: EvalTelemetry).
     """
     dy, dx, fx, fy = _mv_planes(spec, t, dyn, cpmvs)
-    hc = _tap_planes(fx)
-    vc = _tap_planes(fy)
+    tap_dtype = jnp.int16 if spec.i16_taps else jnp.int32
+    hc = _tap_planes(fx, tap_dtype)
+    vc = _tap_planes(fy, tap_dtype)
 
     use_pallas = spec.use_pallas
     if use_pallas is None:
@@ -487,8 +505,14 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
                 spec, t, dyn, ref_flat, pred, dy, dx, hc, vc,
                 jnp.int32(ladder[0]))
         else:
-            ady, adx = jnp.abs(dy), jnp.abs(dx)
             r_max = ladder[-1]
+            # ONE pass over the displacement planes feeds every dispatch
+            # decision: per-block max |d|, then a per-slab max — all rung
+            # escape counts, the pass-2 slab set, and the fix-up flags are
+            # tiny [nCtu, nBins, 16] / scalar ops on top of these
+            admax = jnp.maximum(jnp.abs(dy), jnp.abs(dx))
+            admax_slab = admax.reshape(
+                admax.shape[:2] + (16, 2, NB)).max(axis=(-2, -1))
 
             def units(r):
                 # per-slab arithmetic weight of the R=r kernel: the Ht
@@ -499,8 +523,8 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
             n_slabs = act_static.sum()
             costs = []
             for r in ladder[:-1]:
-                esc_slabs = _esc_slab_mask((ady > r) | (adx > r)).sum()
-                costs.append(units(r) * n_slabs + units(r_max) * esc_slabs)
+                esc_slabs_r = (admax_slab > r).sum()
+                costs.append(units(r) * n_slabs + units(r_max) * esc_slabs_r)
             costs.append(units(r_max) * n_slabs)
             branch = jnp.argmin(jnp.stack(costs)).astype(jnp.int32)
 
@@ -511,9 +535,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
                  for r in ladder],
                 None)
             rt = jnp.asarray(np.asarray(ladder, np.int32))[branch]
-
-            esc_blk = (ady > rt) | (adx > rt)
-            esc_slabs = _esc_slab_mask(esc_blk)
+            esc_slabs = admax_slab > rt
 
             def pass2(pred1):
                 act2 = (esc_slabs & act_static.astype(bool))
@@ -521,7 +543,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
                     spec, t, tiles, dy, dx, hc, vc, r_max,
                     act2.astype(jnp.int32))
                 esc_s = warp_ops.expand_lanes(
-                    jnp.repeat(esc_blk, 4, axis=-2))
+                    jnp.repeat(admax > rt, 4, axis=-2))
                 return jnp.where(esc_s, pred2, pred1)
 
             pred = lax.cond(
@@ -530,28 +552,42 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
             # blocks beyond the widest kernel: exact per-block recompute
             pred, telem = _escape_fixup(
                 spec, t, dyn, ref_flat, pred, dy, dx, hc, vc,
-                jnp.int32(r_max))
+                jnp.int32(r_max), admax=admax)
     else:
         pred = warp_ops.warp_xla(
             ref_flat, spec.frame_w, spec.frame_h, dyn.ctu_y, dyn.ctu_x,
             dy, dx, hc, vc)
         telem = _zero_telem()
 
-    satd, M, rhs = _reduce_pred(spec, t, pred, orig16, dyn.within, refine)
+    satd, M, rhs = _reduce_pred(spec, t, pred, orig, dyn.within, refine)
     return satd, M, rhs, telem
 
 
-def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig16, within_j,
+def _orig_forms(spec: PlaneSpec, orig_pl):
+    """The per-CTU original planes in the form(s) the reduce path needs.
+
+    Returns (orig_pl, orig16); the sample-major blocks form is only
+    materialized for the legacy (non-MXU) reduction.
+    """
+    return orig_pl, (None if spec.mxu_reduce else _blocks16(orig_pl))
+
+
+def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig, within_j,
                  refine: bool):
     """SATD / gradient / normal-equation reductions from bin pred planes.
 
     pred may have a length-1 bin axis (broadcast), e.g. the zero-MV case.
+    ``orig`` is the (orig_pl, orig16) pair from ``_orig_forms``.
     """
+    orig_pl, orig16 = orig
     one_bin = pred.shape[1] == 1
     # ---- SATD per block, reduced per CU --------------------------------
-    pred16 = _blocks16(pred)                       # [nCtu, nBin, 16, NB*NB]
-    sb_satd = satd_ops.satd_4x4(orig16[:, None], pred16, sample_axis=-2)
-    sb_satd = sb_satd.reshape(sb_satd.shape[:-1] + (NB, NB))
+    if spec.mxu_reduce:
+        sb_satd = blockstat_ops.satd_blocks(orig_pl[:, None], pred)
+    else:
+        pred16 = _blocks16(pred)                   # [nCtu, nBin, 16, NB*NB]
+        sb_satd = satd_ops.satd_4x4(orig16[:, None], pred16, sample_axis=-2)
+        sb_satd = sb_satd.reshape(sb_satd.shape[:-1] + (NB, NB))
     satd_cols = []
     for ci, cp_tab in enumerate(t.cls):
         bi = 0 if one_bin else int(t.bin_of[ci])
@@ -574,49 +610,60 @@ def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig16, within_j,
         gx, gy = _sobel_replicated(
             plane, t.bin_row_top[bi], t.bin_row_bot[bi],
             t.bin_col_left[bi], t.bin_col_right[bi])
-        err16 = orig16 - _blocks16(plane)
         # moments per block (int32-exact: |g|<=4*1023, 16 samples); pred
         # planes may arrive int16 (10-bit samples, half the HBM traffic),
-        # so the products are cast up explicitly.  Blocks are sample-major
-        # [.., 16, NB*NB]: products/sums run on 1024-lane vectors, the
-        # [NB, NB] plane shape is restored only for the per-CU reduction.
-        gx16 = _blocks16(gx).astype(jnp.int32)
-        gy16 = _blocks16(gy).astype(jnp.int32)
-
-        def _m(prod):
-            return prod.sum(-2).reshape(
-                prod.shape[:-2] + (NB, NB)).astype(jnp.int64)
-
-        moments.append((
-            _m(gx16 * gx16), _m(gx16 * gy16), _m(gy16 * gy16),
-            _m(gx16 * err16), _m(gy16 * err16),
-        ))
+        # so the products are cast up explicitly.
+        if spec.mxu_reduce:
+            # plane-space products fused into blockstat's sublane/MXU
+            # block sums — no transposes anywhere
+            gx32 = gx.astype(jnp.int32)
+            gy32 = gy.astype(jnp.int32)
+            err = orig_pl.astype(jnp.int32) - plane.astype(jnp.int32)
+            prods = jnp.stack(
+                [gx32 * gx32, gx32 * gy32, gy32 * gy32,
+                 gx32 * err, gy32 * err], axis=1)  # [nCtu, 5, 128, 128]
+            moments.append(blockstat_ops.block_sums_i64(prods))
+        else:
+            # Blocks are sample-major [.., 16, NB*NB]: products/sums run on
+            # 1024-lane vectors, the [NB, NB] plane shape is restored only
+            # for the per-CU reduction.
+            err16 = orig16 - _blocks16(plane)
+            gx16 = _blocks16(gx).astype(jnp.int32)
+            gy16 = _blocks16(gy).astype(jnp.int32)
+            prods = jnp.stack(
+                [gx16 * gx16, gx16 * gy16, gy16 * gy16,
+                 gx16 * err16, gy16 * err16], axis=1)  # [nCtu, 5, 16, NB*NB]
+            moments.append(prods.sum(-2).reshape(
+                prods.shape[:2] + (NB, NB)).astype(jnp.int64))
     M_cols, rhs_cols = [], []
     for ci, cp_tab in enumerate(t.cls):
-        m20_64, m11_64, m02_64, me1_64, me2_64 = moments[int(t.bin_of[ci])]
+        m = moments[int(t.bin_of[ci])]
+        m20_64, m11_64, m02_64 = m[:, 0], m[:, 1], m[:, 2]
+        me1_64, me2_64 = m[:, 3], m[:, 4]
         a, b = _factor_planes(cp_tab, spec.n_cp)
-        rows = []
-        cache = {}
+        # all unique M terms (p <= q) and rhs terms stack on one axis so the
+        # slot->CU reduction is a SINGLE batched strided sum per class
+        terms, order = [], []
         for p in range(Pn):
-            row = []
-            for q in range(Pn):
-                if (q, p) in cache:
-                    row.append(cache[(q, p)])
-                    continue
+            for q in range(p, Pn):
                 aa = jnp.asarray(a[p] * a[q])
                 ab = jnp.asarray(a[p] * b[q] + a[q] * b[p])
                 bb = jnp.asarray(b[p] * b[q])
-                term = P.reduce_slots_to_cu(
-                    jnp, m20_64 * aa + m11_64 * ab + m02_64 * bb, cp_tab)
-                cache[(p, q)] = term
-                row.append(term)
-            rows.append(jnp.stack(row, axis=-1))
-        M = jnp.stack(rows, axis=-2)
-        rhs = jnp.stack(
-            [P.reduce_slots_to_cu(
-                jnp, me1_64 * jnp.asarray(a[p]) + me2_64 * jnp.asarray(b[p]),
-                cp_tab) << 3
-             for p in range(Pn)], axis=-1)
+                terms.append(m20_64 * aa + m11_64 * ab + m02_64 * bb)
+                order.append((p, q))
+        for p in range(Pn):
+            terms.append(me1_64 * jnp.asarray(a[p])
+                         + me2_64 * jnp.asarray(b[p]))
+        red = P.reduce_slots_to_cu(
+            jnp, jnp.stack(terms, axis=1), cp_tab)       # [nCtu, T, num_cus]
+        cell = {}
+        for k, (p, q) in enumerate(order):
+            cell[(p, q)] = cell[(q, p)] = red[:, k]
+        M = jnp.stack(
+            [jnp.stack([cell[(p, q)] for q in range(Pn)], axis=-1)
+             for p in range(Pn)], axis=-2)
+        rhs = jnp.stack([red[:, len(order) + p] << 3 for p in range(Pn)],
+                        axis=-1)
         M_cols.append(M)
         rhs_cols.append(rhs)
     M = jnp.concatenate(M_cols, axis=1)
@@ -626,7 +673,7 @@ def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig16, within_j,
     return satd, M, rhs
 
 
-def _evaluate_zero(spec: PlaneSpec, t: PlaneTables, ref_pl, orig16,
+def _evaluate_zero(spec: PlaneSpec, t: PlaneTables, ref_pl, orig,
                    within_j, refine: bool):
     """Iteration-0 evaluate for 2CP stages: CPMVs are all zero
     (affine.cl:53-59), so every block's prediction is the phase-0 filter of
@@ -638,7 +685,7 @@ def _evaluate_zero(spec: PlaneSpec, t: PlaneTables, ref_pl, orig16,
     tmp = (ref_pl * 64 + warp_ops._OFF1) >> warp_ops._SHIFT1
     p0 = jnp.clip((tmp * 64 + warp_ops._OFF2) >> warp_ops._SHIFT2,
                   C.CLP_RNG_MIN, C.CLP_RNG_MAX).astype(jnp.int16)
-    return _reduce_pred(spec, t, p0[:, None], orig16, within_j, refine)
+    return _reduce_pred(spec, t, p0[:, None], orig, within_j, refine)
 
 
 def _init_cpmvs(spec: PlaneSpec, t: PlaneTables, prev, abs_x, abs_y):
@@ -669,7 +716,7 @@ def _refine_cpmvs(spec, t, cpmvs, M, rhs, cu_w, cu_h, abs_x, abs_y):
 
 
 def prep_inputs(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat):
-    """Frame-global device prep: (tiles, orig16, ref_pl), all CTU-leading.
+    """Frame-global device prep: (tiles, orig_pl, ref_pl), all CTU-leading.
 
     Runs once per stage invocation BEFORE any CTU sharding — the outputs
     lead with the CTU axis, so the sharding layer pads/shards them directly.
@@ -678,7 +725,7 @@ def prep_inputs(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat):
         warp_ops.build_refpad(
             ref_flat, spec.frame_w, spec.frame_h, t.n_ctu_y, t.n_ctu_x),
         t.n_ctu_y, t.n_ctu_x)
-    # orig as per-CTU 4x4-block planes (zero padding; only within-CUs used)
+    # per-CTU 128x128 planes (zero padding; only within-CUs used)
     oh = 128 * t.n_ctu_y
     ow = 128 * t.n_ctu_x
 
@@ -689,7 +736,7 @@ def prep_inputs(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat):
         pl_ = p2d.reshape(t.n_ctu_y, 128, t.n_ctu_x, 128)
         return pl_.transpose(0, 2, 1, 3).reshape(t.n_ctus, 128, 128)
 
-    return tiles, _blocks16(to_planes(orig_flat)), to_planes(ref_flat)
+    return tiles, to_planes(orig_flat), to_planes(ref_flat)
 
 
 def dyn_tables(t: PlaneTables) -> DynTables:
@@ -701,7 +748,7 @@ def dyn_tables(t: PlaneTables) -> DynTables:
 
 
 def _stage_core(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
-                tiles, orig16, ref_pl, lam, prev_cpmvs):
+                tiles, orig_pl, ref_pl, lam, prev_cpmvs):
     """The iteration loop over (possibly CTU-sharded) local arrays.
 
     Returns (best_cost, best_cpmvs, telem).  Every per-CTU input leads with
@@ -710,6 +757,7 @@ def _stage_core(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     abs_x, abs_y, within_j = dyn.abs_x, dyn.abs_y, dyn.within
     cu_w = jnp.asarray(t.cu_w)
     cu_h = jnp.asarray(t.cu_h)
+    orig = _orig_forms(spec, orig_pl)
 
     curr = _init_cpmvs(spec, t, prev_cpmvs, abs_x, abs_y)
     best_cost = jnp.full((curr.shape[0], t.n_cus), C.MAX_LONG, jnp.int64)
@@ -732,7 +780,7 @@ def _stage_core(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     def body(carry, _):
         curr, best_cost, best_cp, telem = carry
         satd, M, rhs, tm = _evaluate(
-            spec, t, dyn, ref_flat, tiles, orig16, curr, True)
+            spec, t, dyn, ref_flat, tiles, orig, curr, True)
         cost = cost_of(curr, satd)
         best_cost, best_cp = update_best(curr, cost, best_cost, best_cp)
         curr = _refine_cpmvs(spec, t, curr, M, rhs, cu_w, cu_h, abs_x, abs_y)
@@ -742,7 +790,7 @@ def _stage_core(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     telem = _zero_telem()
     if spec.n_cp == 2:
         # iteration 0 in closed form (zero CPMVs)
-        satd, M, rhs = _evaluate_zero(spec, t, ref_pl, orig16, within_j, True)
+        satd, M, rhs = _evaluate_zero(spec, t, ref_pl, orig, within_j, True)
         cost = cost_of(curr, satd)
         best_cost, best_cp = update_best(curr, cost, best_cost, best_cp)
         curr = _refine_cpmvs(spec, t, curr, M, rhs, cu_w, cu_h, abs_x, abs_y)
@@ -751,7 +799,7 @@ def _stage_core(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     (curr, best_cost, best_cp, telem), _ = lax.scan(
         body, (curr, best_cost, best_cp, telem), None, length=n_iters)
     satd, _, _, tm = _evaluate(
-        spec, t, dyn, ref_flat, tiles, orig16, curr, False)
+        spec, t, dyn, ref_flat, tiles, orig, curr, False)
     telem = add_telem(telem, tm)
     cost = cost_of(curr, satd)
     best_cost, best_cp = update_best(curr, cost, best_cost, best_cp)
@@ -760,9 +808,9 @@ def _stage_core(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
 
 def _stage_run(spec: PlaneSpec, t: PlaneTables, ref_flat, orig_flat, lam,
                prev_cpmvs):
-    tiles, orig16, ref_pl = prep_inputs(spec, t, ref_flat, orig_flat)
+    tiles, orig_pl, ref_pl = prep_inputs(spec, t, ref_flat, orig_flat)
     cost, cp, _ = _stage_core(spec, t, dyn_tables(t), ref_flat, tiles,
-                              orig16, ref_pl, lam, prev_cpmvs)
+                              orig_pl, ref_pl, lam, prev_cpmvs)
     return cost, cp
 
 
@@ -777,9 +825,9 @@ def build_stage(spec: PlaneSpec, telemetry: bool = False):
 
     @jax.jit
     def run(ref_flat, orig_flat, lam, prev_cpmvs):
-        tiles, orig16, ref_pl = prep_inputs(spec, tables, ref_flat, orig_flat)
+        tiles, orig_pl, ref_pl = prep_inputs(spec, tables, ref_flat, orig_flat)
         cost, cp, telem = _stage_core(
-            spec, tables, dyn_tables(tables), ref_flat, tiles, orig16,
+            spec, tables, dyn_tables(tables), ref_flat, tiles, orig_pl,
             ref_pl, lam, prev_cpmvs)
         return (cost, cp, telem) if telemetry else (cost, cp)
 

@@ -98,8 +98,9 @@ def filter_blocks(win, hc, vc):
     """Separable 6-tap over 9x9 windows with explicit per-block taps.
 
     win: int32 [..., 9, 9] starting at displacement offset -2 (see
-    warp_xla); hc/vc: int32 [..., 6] (filter-bank columns 1..6 — columns 0
-    and 7 are zero in every phase, so this is the full 8-tap result).
+    warp_xla); hc/vc: int16/int32 [..., 6] (filter-bank columns 1..6 —
+    columns 0 and 7 are zero in every phase, so this is the full 8-tap
+    result; int16 taps promote exactly in the multiplies).
     Returns int32 [..., 4, 4] clipped to [0, 1023].
     """
     tmp = None
@@ -126,8 +127,8 @@ def warp_xla(ref_flat, frame_w: int, frame_h: int, ctu_y, ctu_x,
     """Exact dense warp via clamped gather; any displacement.
 
     ref_flat: int32 [fh*fw]; ctu_y/ctu_x: int32 [nCtu] CTU corners;
-    dy/dx: int32 [nCtu, nCls, NB, NB]; hc/vc: int32 [nCtu, nCls, 6, NB, NB]
-    (6-tap convention, see module docstring).
+    dy/dx: int32 [nCtu, nCls, NB, NB]; hc/vc: int16/int32
+    [nCtu, nCls, 6, NB, NB] (6-tap convention, see module docstring).
     Returns int32 [nCtu, nCls, 128, 128].
     """
     n_ctu, n_cls = dy.shape[:2]
@@ -210,7 +211,9 @@ def _warp_kernel(R: int):
                 tsel = srow - dxl + 3
                 hmask = jnp.zeros((NS, 128), jnp.int32)
                 for t in range(1, 7):
-                    hct = hc_ref[0, 0, t - 1, pl.ds(sy, 1), :]
+                    # taps arrive int16 (half the DMA); widen at load
+                    hct = hc_ref[0, 0, t - 1, pl.ds(sy, 1), :].astype(
+                        jnp.int32)
                     hmask = jnp.where(tsel == t, hct, hmask)
 
                 # ---- Ht: horizontal filter at all candidate rows ----
@@ -244,7 +247,7 @@ def _warp_kernel(R: int):
                 # ---- vertical filter (6 taps: w9 rows [u, u+4)) ----
                 pred = jnp.zeros((4, 128), jnp.int32)
                 for u in range(6):
-                    vct = vc_ref[0, 0, u, pl.ds(sy, 1), :]
+                    vct = vc_ref[0, 0, u, pl.ds(sy, 1), :].astype(jnp.int32)
                     pred = pred + w[u:u + 4, :] * vct
                 pred = (pred + _OFF2) >> _SHIFT2
                 # int32 bounds: with jax_enable_x64 on, python-int clip
@@ -321,7 +324,7 @@ def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
 
     tiles: int16 [nCtu, TILE_H, TILE_W] from build_tiles; dy_l/dx_l: int32
     [nCtu, nCls, NB, 128] (lane-expanded, see expand_lanes); hc_l/vc_l:
-    int32 [nCtu, nCls, 6, NB, 128]; slab_active: optional int32
+    int16 [nCtu, nCls, 6, NB, 128]; slab_active: optional int32
     [nCtu, nCls, 16] per-(CTU, class, 8-row slab) work mask — slabs with 0
     are skipped and their output rows are unspecified (used both for the
     static never-valid slabs of half-aligned classes and for the dynamic
@@ -349,7 +352,7 @@ def predict_blocks_flat(ref_flat, frame_w: int, frame_h: int,
     """Exact prediction of E individual 4x4 blocks (the escape fix-up).
 
     y_blk/x_blk: int32 [E] absolute block corners; dy/dx: int32 [E]
-    displacements (any magnitude); hc/vc: int32 [E, 6] taps.
+    displacements (any magnitude); hc/vc: int16/int32 [E, 6] taps.
     Returns int32 [E, 4, 4].
     """
     taps = jnp.arange(9, dtype=jnp.int32)

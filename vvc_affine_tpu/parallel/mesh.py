@@ -130,9 +130,9 @@ def build_plane_stage_sharded(spec: affine_plane.PlaneSpec, mesh: Mesh,
     ctu = P("ctu")
     repl = P()
 
-    def local_fn(dyn_l, tiles_l, orig16_l, ref_pl_l, prev_l, ref_flat, lam):
+    def local_fn(dyn_l, tiles_l, orig_pl_l, ref_pl_l, prev_l, ref_flat, lam):
         cost, cp, telem = affine_plane._stage_core(
-            spec, t, dyn_l, ref_flat, tiles_l, orig16_l, ref_pl_l, lam,
+            spec, t, dyn_l, ref_flat, tiles_l, orig_pl_l, ref_pl_l, lam,
             prev_l)
         telem = affine_plane.EvalTelemetry(
             jax.lax.psum(telem.n_escapes, "ctu"),
@@ -152,14 +152,13 @@ def build_plane_stage_sharded(spec: affine_plane.PlaneSpec, mesh: Mesh,
 
     @jax.jit
     def run_padded(ref_flat, orig_flat, lam, prev_padded):
-        tiles, orig16, ref_pl = affine_plane.prep_inputs(
+        tiles, orig_pl, ref_pl = affine_plane.prep_inputs(
             spec, t, ref_flat, orig_flat)
         if pad:
             tiles = jnp.pad(tiles, ((0, pad), (0, 0), (0, 0)))
-            orig16 = jnp.pad(orig16,
-                             ((0, pad),) + ((0, 0),) * (orig16.ndim - 1))
+            orig_pl = jnp.pad(orig_pl, ((0, pad), (0, 0), (0, 0)))
             ref_pl = jnp.pad(ref_pl, ((0, pad), (0, 0), (0, 0)))
-        return sharded(dyn_padded, tiles, orig16, ref_pl, prev_padded,
+        return sharded(dyn_padded, tiles, orig_pl, ref_pl, prev_padded,
                        ref_flat, lam)
 
     def run(ref_flat, orig_flat, lam, prev_cpmvs):
