@@ -70,7 +70,7 @@ def main():
     prep = jax.jit(lambda r, o: ap.prep_inputs(spec, t, r, o))
     print(f"prep_inputs: {timed(prep, ref, orig)*1e3:8.2f} ms")
     tiles, orig_pl, ref_pl = prep(ref, orig)
-    orig = ap._orig_forms(spec, orig_pl)
+    orig_forms = ap._orig_forms(spec, orig_pl)
 
     # motion planes at a fixed small CPMV (rung-1 territory)
     cp = jnp.full((t.n_ctus, t.n_cus, 3, 2), 52, jnp.int32)  # 3.25 px
@@ -78,8 +78,7 @@ def main():
     mvfn = jax.jit(lambda c: ap._mv_planes(spec, t, dyn, c))
     print(f"mv_planes:   {timed(mvfn, cp)*1e3:8.2f} ms")
     dy, dx, fx, fy = mvfn(cp)
-    import jax.numpy as _jnp
-    td = _jnp.int16 if i16 else _jnp.int32
+    td = jnp.int16 if i16 else jnp.int32
     tapfn = jax.jit(lambda a, b: (ap._tap_planes(a, td), ap._tap_planes(b, td)))
     print(f"tap_planes:  {timed(tapfn, fx, fy)*1e3:8.2f} ms")
     hc, vc = tapfn(fx, fy)
@@ -96,10 +95,10 @@ def main():
         spec, t, dyn, ref, p, a, b, c, d, jnp.int32(8)))
     print(f"escape_fix:  {timed(fixfn, pred, dy, dx, hc, vc)*1e3:8.2f} ms")
 
-    redfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig,
+    redfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig_forms,
                                               dyn.within, True))
     print(f"reduce_pred: {timed(redfn, pred.astype(jnp.int32))*1e3:8.2f} ms")
-    satdfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig,
+    satdfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig_forms,
                                                dyn.within, False))
     print(f"  satd only: {timed(satdfn, pred.astype(jnp.int32))*1e3:8.2f} ms")
 
@@ -108,8 +107,8 @@ def main():
     solfn = jax.jit(lambda M, r: solver_ops.solve_affine(M, r, 2))
     print(f"solver:      {timed(solfn, M, rhs)*1e3:8.2f} ms")
 
-    evfn = jax.jit(lambda c: ap._evaluate(spec, t, dyn, ref, tiles, orig,
-                                          c, True))
+    evfn = jax.jit(lambda c: ap._evaluate(spec, t, dyn, ref, tiles,
+                                          orig_forms, c, True))
     print(f"evaluate:    {timed(evfn, cp)*1e3:8.2f} ms")
 
     stage = ap.build_stage(spec)
