@@ -9,7 +9,11 @@ plus the full stage for reference.  Run on the TPU:
     python tools/profile_stage.py [WxH]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
