@@ -84,9 +84,15 @@ def test_evaluate_parity_mxu(mode, n_cp):
                             mxu_reduce=mxu)
         t = ap.build_tables(spec)
         dyn = ap.dyn_tables(t)
-        tiles, orig_pl, _ = ap.prep_inputs(spec, t, ref, orig)
+        tiles, orig_pl, ref_pl = ap.prep_inputs(spec, t, ref, orig)
+        forms = ap._orig_forms(spec, orig_pl)
         satd, M, rhs, _ = ap._evaluate(
-            spec, t, dyn, ref, tiles, ap._orig_forms(spec, orig_pl), cp, True)
-        outs.append((np.asarray(satd), np.asarray(M), np.asarray(rhs)))
+            spec, t, dyn, ref, tiles, forms, cp, True)
+        # the closed-form zero-CPMV evaluate exercises the broadcast
+        # (one-bin) reduction path
+        z_satd, z_M, z_rhs = ap._evaluate_zero(
+            spec, t, ref_pl, forms, dyn.within, True)
+        outs.append(tuple(np.asarray(x)
+                          for x in (satd, M, rhs, z_satd, z_M, z_rhs)))
     for a, b in zip(outs[0], outs[1]):
         np.testing.assert_array_equal(a, b)
