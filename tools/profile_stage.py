@@ -115,6 +115,16 @@ def main():
                                           orig_forms, c, True))
     print(f"evaluate:    {timed(evfn, cp)*1e3:8.2f} ms")
 
+    # same evaluate with a single-rung ladder: the difference isolates the
+    # adaptive-dispatch machinery (admax scan, switch, pass-2 merge)
+    spec1 = ap.PlaneSpec(spec.mode, spec.n_cp, fw, fh, mxu_reduce=mxu,
+                         i16_taps=i16, adaptive=False)
+    t1 = ap.build_tables(spec1)
+    dyn1 = ap.dyn_tables(t1)
+    ev1 = jax.jit(lambda c: ap._evaluate(spec1, t1, dyn1, ref, tiles,
+                                         orig_forms, c, True))
+    print(f"eval R8-only:{timed(ev1, cp)*1e3:8.2f} ms")
+
     stage = ap.build_stage(spec)
     z = ap.zero_cpmvs(spec)
     print(f"full stage:  {timed(stage, ref, orig, lam, z, n=2)*1e3:8.2f} ms")
