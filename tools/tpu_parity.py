@@ -95,6 +95,8 @@ def main():
     golden = dict(np.load(npz))
 
     print("device run (this process)...", flush=True)
+    import vvc_affine_tpu  # noqa: F401  (applies VVC_AFFINE_TPU_PLATFORM
+    #                        before the backend initializes)
     import jax
     backend = jax.default_backend()
     got = _run_chain(fw, fh, mxu, i16)
