@@ -20,14 +20,18 @@ FW, FH = 256, 128   # 2 CTUs -> 8-way padded shard
 N_FRAMES = 1
 
 
-def _write_fixture(tmp):
+def _write_fixture(tmp, n_frames=N_FRAMES):
     rng = np.random.default_rng(21)
+    refs, origs = [], []
     base = rng.integers(0, 1024, size=(FH, FW))
-    orig = np.clip(np.roll(base, (2, -1), axis=(0, 1))
-                   + rng.integers(-16, 16, (FH, FW)), 0, 1023)
+    for _ in range(n_frames):
+        refs.append(base)
+        base = np.clip(np.roll(base, (2, -1), axis=(0, 1))
+                       + rng.integers(-16, 16, (FH, FW)), 0, 1023)
+        origs.append(base)
     opath = os.path.join(tmp, "orig.csv")
     rpath = os.path.join(tmp, "ref.csv")
-    for path, frames in ((opath, [orig]), (rpath, [base])):
+    for path, frames in ((opath, origs), (rpath, refs)):
         with open(path, "w") as f:
             for fr in frames:
                 for row in fr:
@@ -35,10 +39,10 @@ def _write_fixture(tmp):
     return opath, rpath
 
 
-def _cli_cmd(opath, rpath, prefix, extra):
+def _cli_cmd(opath, rpath, prefix, extra, n_frames=N_FRAMES):
     return [
         sys.executable, "-m", "vvc_affine_tpu.cli",
-        "-f", str(N_FRAMES), "-s", f"{FW}x{FH}", "-q", "32",
+        "-f", str(n_frames), "-s", f"{FW}x{FH}", "-q", "32",
         "-o", opath, "-r", rpath, "-l", prefix, "--SkipHalf",
     ] + extra
 
@@ -106,3 +110,59 @@ def test_two_process_logs_match_single_process(tmp_path):
         with open(os.path.join(tmp, sf), "rb") as a, \
                 open(os.path.join(tmp, mf), "rb") as b:
             assert a.read() == b.read(), sf
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(tmp_path):
+    """A desynced resume used to deadlock the cluster: only process 0 read
+    the checkpoint, so followers entered the collective stages for frames
+    the primary skipped.  Now the completed POC is broadcast; a 2-process
+    resume must complete and produce logs byte-identical to a full run."""
+    tmp = str(tmp_path)
+    opath, rpath = _write_fixture(tmp, n_frames=2)
+
+    # full-run reference logs (single process, 8 virtual devices)
+    ref_prefix = os.path.join(tmp, "ref_")
+    r = subprocess.run(
+        _cli_cmd(opath, rpath, ref_prefix, ["--NumChips", "8"], n_frames=2),
+        env=_env(8), capture_output=True, text=True, timeout=1200,
+        preexec_fn=_raise_stack)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # frame 1 only, checkpointed (single process) -> marker at POC 1
+    res_prefix = os.path.join(tmp, "res_")
+    ckpt = os.path.join(tmp, "ckpt")
+    r = subprocess.run(
+        _cli_cmd(opath, rpath, res_prefix,
+                 ["--NumChips", "8", "--CheckpointDir", ckpt], n_frames=1),
+        env=_env(8), capture_output=True, text=True, timeout=1200,
+        preexec_fn=_raise_stack)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # resume the 2-frame GOP on a 2-process cluster from the marker
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            _cli_cmd(opath, rpath, res_prefix, [
+                "--Coordinator", f"localhost:{port}",
+                "--NumProcesses", "2", "--ProcessId", str(pid),
+                "--CheckpointDir", ckpt], n_frames=2),
+            env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, preexec_fn=_raise_stack))
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+
+    refs = sorted(f for f in os.listdir(tmp)
+                  if f.startswith("ref_") and f.endswith(".csv"))
+    ress = sorted(f for f in os.listdir(tmp)
+                  if f.startswith("res_") and f.endswith(".csv"))
+    assert refs and len(refs) == len(ress)
+    for rf, sf in zip(refs, ress):
+        assert rf[len("ref_"):] == sf[len("res_"):]
+        with open(os.path.join(tmp, rf), "rb") as a, \
+                open(os.path.join(tmp, sf), "rb") as b:
+            assert a.read() == b.read(), rf

@@ -33,6 +33,27 @@ def test_native_csv_parse_matches_python(tmp_path, lib):
         frames.read_frames_csv(p, 64, 48, 3)
 
 
+def test_csv_rejects_out_of_range(tmp_path, lib):
+    """Oversized fields fail loudly — including ones that would wrap uint32
+    (2^32 -> 0) in the native digit accumulator, and via the pandas path."""
+    for bad in ("70000", "4294967296"):  # > 65535; wraps to 0 at 2^32
+        p = str(tmp_path / f"bad_{bad}.csv")
+        with open(p, "w") as f:
+            f.write("1,2,3,4\n")
+            f.write(f"5,{bad},7,8\n")
+        with pytest.raises(ValueError):
+            frames.read_frames_csv(p, 4, 2, 1)
+
+
+def test_python_fallback_rejects_out_of_range(tmp_path, monkeypatch):
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("1,2,3,4\n5,70000,7,8\n")
+    with pytest.raises(ValueError):
+        frames.read_frames_csv(p, 4, 2, 1)
+
+
 def test_native_decision_rows_format(tmp_path, lib):
     import ctypes
 

@@ -3,7 +3,8 @@
 Strong-scaling measurement of the shipping plane engine
 (`parallel.mesh.build_plane_stage_sharded`) at every requested chip count:
 one fixed frame workload, timed per mesh size, with efficiency relative to
-1 chip (eff(n) = t1 / (n * tn)).  The measured analogue of the scaling
+the smallest measured chip count n0 (eff(n) = n0*t_n0 / (n*t_n); n0 = 1
+unless --chips starts higher).  The measured analogue of the scaling
 argument in docs/scaling.md — the iteration loop has no collectives, so
 efficiency is bounded only by replicated frame prep.  (The reference is
 single-device; its scaling axis is the per-launch work-group count,
@@ -96,8 +97,11 @@ def main():
             "chips": n, "mode": mode, "resolution": res,
             "sec_per_stage": round(t, 4),
             "cus_per_sec": round(cus / t, 1),
-            "speedup_vs_1": round(t1 / t, 3),
-            "efficiency_vs_1": round(t1 / (n * t), 3),
+            # baseline = the SMALLEST measured chip count (chips[0]), which
+            # is 1 unless --chips starts higher
+            "baseline_chips": chips[0],
+            "speedup_vs_baseline": round(t1 / t, 3),
+            "efficiency": round(t1 * chips[0] / (n * t), 3),
         }), flush=True)
 
 

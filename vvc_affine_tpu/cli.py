@@ -93,9 +93,9 @@ def main(argv=None) -> int:
         from vvc_affine_tpu.parallel import mesh as pmesh
 
         devs = jax.devices()
-        if len(devs) < args.NumChips:
-            print(f"Need {args.NumChips} devices, have {len(devs)}",
-                  file=sys.stderr)
+        if args.DeviceIndex + args.NumChips > len(devs):
+            print(f"Need {args.NumChips} devices starting at index "
+                  f"{args.DeviceIndex}, have {len(devs)}", file=sys.stderr)
             return 1
         mesh = pmesh.make_mesh(devs[args.DeviceIndex:
                                     args.DeviceIndex + args.NumChips])
@@ -119,10 +119,22 @@ def main(argv=None) -> int:
 
     prefix = args.CpmvLogFile or None
     ckpt = None
-    if args.CheckpointDir and primary:
-        from vvc_affine_tpu.runtime.checkpoint import CheckpointManager
+    if args.CheckpointDir:
+        from vvc_affine_tpu.runtime.checkpoint import (CheckpointManager,
+                                                       FollowerCheckpoint)
 
-        ckpt = CheckpointManager(args.CheckpointDir, prefix)
+        if primary:
+            ckpt = CheckpointManager(args.CheckpointDir, prefix)
+        if args.Coordinator:
+            # every process must skip the same completed frames — the
+            # sharded stages/gathers are collective, so a desynced resume
+            # deadlocks the cluster
+            from vvc_affine_tpu.runtime import distributed as dist
+
+            done = dist.broadcast_scalar(
+                ckpt.completed_poc() if primary else 0)
+            if not primary:
+                ckpt = FollowerCheckpoint(done)
     if prefix and primary and (ckpt is None or ckpt.completed_poc() == 0):
         reporting.remove_old_traces(prefix)
 

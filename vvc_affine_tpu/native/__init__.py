@@ -62,6 +62,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             except OSError:
                 fresh = False
         if not fresh and not _build(src_hash):
+            import sys
+
+            print(
+                "vvc_affine_tpu.native: no verified libvvcnative.so and the "
+                "rebuild failed (g++ missing?) — using the slower Python CSV "
+                "parser", file=sys.stderr)
             return None
         try:
             lib = ctypes.CDLL(_SO)

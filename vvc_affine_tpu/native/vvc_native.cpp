@@ -56,9 +56,15 @@ int64_t vvc_parse_luma_csv(const char* path, uint16_t* out, int64_t rows,
         unsigned d = static_cast<unsigned>(*p) - '0';
         if (d > 9u) break;
         v = v * 10u + d;
+        // per-digit bound: rejects oversized values before uint32 wrap
+        // (65535*10+9 < 2^32, so the check itself cannot be defeated)
+        if (v > 65535u) {
+          munmap(const_cast<char*>(base), len);
+          return -(2 + r);
+        }
         ++p;
       }
-      if (p == field_start || v > 65535u) {
+      if (p == field_start) {
         munmap(const_cast<char*>(base), len);
         return -(2 + r);
       }

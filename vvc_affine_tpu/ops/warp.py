@@ -143,7 +143,7 @@ def warp_xla(ref_flat, frame_w: int, frame_h: int, ctu_y, ctu_x,
         xs = clamp(x0[..., None] + taps, 0, frame_w - 1)
         idx = ys[..., :, None] * frame_w + xs[..., None, :]
         win = jnp.take(ref_flat, idx, mode="clip")      # [nCtu, NB, NB, 9, 9]
-        hcc = jnp.moveaxis(hc[:, ci], 1, -1)            # [nCtu, NB, NB, 8]
+        hcc = jnp.moveaxis(hc[:, ci], 1, -1)            # [nCtu, NB, NB, 6]
         vcc = jnp.moveaxis(vc[:, ci], 1, -1)
         pred = filter_blocks(win, hcc, vcc)             # [nCtu, NB, NB, 4, 4]
         plane = pred.transpose(0, 1, 3, 2, 4).reshape(n_ctu, 128, 128)

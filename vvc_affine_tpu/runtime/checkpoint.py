@@ -75,3 +75,29 @@ class CheckpointManager:
             os.remove(self._path)
         except FileNotFoundError:
             pass
+
+
+class FollowerCheckpoint:
+    """Non-primary processes' view of a distributed checkpointed run.
+
+    Every process must skip the SAME completed frames (the sharded stages
+    and result gathers are collective — a lone process entering them
+    deadlocks the cluster), but only process 0 owns the marker file and the
+    decision logs.  Followers get the primary's completed POC broadcast at
+    startup (runtime.distributed.broadcast_scalar) and write nothing.
+    """
+
+    def __init__(self, done_poc: int):
+        self._done = int(done_poc)
+
+    def completed_poc(self) -> int:
+        return self._done
+
+    def mark_frame_done(self, poc: int) -> None:
+        pass
+
+    def prune_logs_after(self, poc: int) -> None:
+        pass
+
+    def clear(self) -> None:
+        pass

@@ -68,6 +68,17 @@ def replicate_to_mesh(x, mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
+def broadcast_scalar(value: int) -> int:
+    """Process 0's ``value`` on every process (collective; all must call)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+
+    return int(multihost_utils.broadcast_one_to_all(np.int64(value)))
+
+
 def gather_to_host(x) -> np.ndarray:
     """Full value of a (possibly cross-process sharded) array on this host.
 

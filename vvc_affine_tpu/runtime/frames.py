@@ -33,7 +33,8 @@ def read_frames_csv(path: str, frame_w: int, frame_h: int, n_frames: int) -> np.
             return out.reshape(n_frames, frame_h, frame_w)
         if rc <= -2:
             raise ValueError(
-                f"{path}: ran out of rows at {-(rc + 2)} (need {rows_needed})")
+                f"{path}: malformed/oversized field or short file at row "
+                f"{-(rc + 2)} (need {rows_needed} rows)")
         # rc == -1: IO error -> fall through to the Python parser
     try:
         import pandas as pd
@@ -42,7 +43,12 @@ def read_frames_csv(path: str, frame_w: int, frame_h: int, n_frames: int) -> np.
             path, header=None, nrows=rows_needed, dtype=np.int64,
             usecols=range(frame_w), engine="c",
         )
-        out = df.to_numpy().astype(np.uint16)
+        vals = df.to_numpy()
+        # same loud out-of-range rejection as the native parser (no silent
+        # uint16 truncation)
+        if vals.size and (vals.min() < 0 or vals.max() > 65535):
+            raise ValueError(f"{path}: sample value out of [0, 65535]")
+        out = vals.astype(np.uint16)
     except ImportError:
         out = np.empty((rows_needed, frame_w), np.uint16)
         with open(path, "r") as f:
