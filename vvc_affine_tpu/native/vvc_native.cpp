@@ -111,16 +111,27 @@ int64_t vvc_append_decision_rows(const char* path, int32_t write_header,
                                  const int64_t* cost, const int32_t* cpmv) {
   FILE* f = fopen(path, write_header ? "w" : "a");
   if (!f) return -1;
+  // Transactional append: remember the pre-write size and truncate back on
+  // any failure, so a failed call leaves NO partial rows behind (the Python
+  // caller re-appends the whole block on rc != 0).
+  off_t start = 0;
+  if (!write_header) {
+    if (fseeko(f, 0, SEEK_END) != 0 || (start = ftello(f)) < 0) {
+      fclose(f);
+      return -1;
+    }
+  }
+  bool ok = true;
   if (write_header) {
     static const char kHeader[] =
         "POC,List,Ref,CTU,idx,X,Y,Cost,LT_X,LT_Y,RT_X,RT_Y,LB_X,LB_Y\n";
-    fwrite(kHeader, 1, sizeof(kHeader) - 1, f);
+    ok = fwrite(kHeader, 1, sizeof(kHeader) - 1, f) == sizeof(kHeader) - 1;
   }
   // 14 fields, worst ~21 chars each
   const size_t kMaxRow = 14 * 22 + 2;
   char* buf = new char[kMaxRow * 4096];
   char* q = buf;
-  for (int64_t i = 0; i < n_rows; ++i) {
+  for (int64_t i = 0; ok && i < n_rows; ++i) {
     const int32_t* m = meta + i * 7;
     const int32_t* v = cpmv + i * 6;
     for (int k = 0; k < 7; ++k) {
@@ -134,13 +145,20 @@ int64_t vvc_append_decision_rows(const char* path, int32_t write_header,
     }
     *q++ = '\n';
     if (static_cast<size_t>(q - buf) > kMaxRow * 4095) {
-      fwrite(buf, 1, q - buf, f);
+      ok = fwrite(buf, 1, q - buf, f) == static_cast<size_t>(q - buf);
       q = buf;
     }
   }
-  if (q != buf) fwrite(buf, 1, q - buf, f);
+  if (ok && q != buf)
+    ok = fwrite(buf, 1, q - buf, f) == static_cast<size_t>(q - buf);
   delete[] buf;
-  return fclose(f) == 0 ? 0 : -1;
+  if (ok) ok = fflush(f) == 0;
+  if (!ok) {
+    // roll the file back to its pre-call size (best effort)
+    if (ftruncate(fileno(f), start) != 0) { /* nothing more we can do */ }
+  }
+  fclose(f);  // data already flushed; close failure past this point is moot
+  return ok ? 0 : -1;
 }
 
 }  // extern "C"
