@@ -66,20 +66,9 @@ def test_gop_engines_match_cli(tmp_path):
     _diff_logs(tmp, "plane_", "gather_")
 
 
-@pytest.mark.slow
-@pytest.mark.skipif(os.environ.get("VVC_GOP_1080P") != "1",
-                    reason="1080p GOP golden run needs the real TPU; "
-                           "set VVC_GOP_1080P=1 (do not run concurrently "
-                           "with other TPU processes)")
-def test_gop_1080p_engines_match_tpu(tmp_path):
-    """BASELINE.md parity workload: -f 2 -s 1920x1080 -q 32, 4 pred types,
-    multi-frame GOP — plane vs gather decision logs, byte-identical.
-
-    Runs each engine in its own subprocess on the default (TPU) platform;
-    sequential, never concurrent.
-    """
-    tmp = str(tmp_path)
-    fw, fh, n = 1920, 1080, 2
+def _tpu_golden_run(tmp, fw, fh, n, timeout_s):
+    """Plane vs gather decision logs through the CLI on the real TPU,
+    each engine in its own subprocess; sequential, never concurrent."""
     opath, rpath = _fixture(tmp, fw, fh, n)
     env = dict(os.environ)
     env.pop("VVC_AFFINE_TPU_PLATFORM", None)
@@ -91,6 +80,30 @@ def test_gop_1080p_engines_match_tpu(tmp_path):
              "-o", opath, "-r", rpath,
              "-l", os.path.join(tmp, f"{engine}_"),
              "--Engine", engine],
-            env=env, capture_output=True, text=True, timeout=7200)
+            env=env, capture_output=True, text=True, timeout=timeout_s)
         assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
     _diff_logs(tmp, "plane_", "gather_")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("VVC_GOP_1080P") != "1",
+                    reason="1080p GOP golden run needs the real TPU; "
+                           "set VVC_GOP_1080P=1 (do not run concurrently "
+                           "with other TPU processes)")
+def test_gop_1080p_engines_match_tpu(tmp_path):
+    """BASELINE.md parity workload: -f 2 -s 1920x1080 -q 32, 4 pred types,
+    multi-frame GOP — plane vs gather decision logs, byte-identical."""
+    _tpu_golden_run(str(tmp_path), 1920, 1080, 2, 7200)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("VVC_GOP_4K") != "1",
+                    reason="4K GOP golden run needs the real TPU; "
+                           "set VVC_GOP_4K=1 (do not run concurrently "
+                           "with other TPU processes)")
+def test_gop_4k_engines_match_tpu(tmp_path):
+    """4K golden diff (constants.h:73-79 lists 3840x2160 -> 510 CTUs):
+    plane vs gather at 3840x2160 through the CLI, byte-identical logs.
+    One frame pair — the 510-CTU geometry is the coverage target; the
+    multi-frame schedule is covered by the 1080p run."""
+    _tpu_golden_run(str(tmp_path), 3840, 2160, 1, 14400)
