@@ -55,11 +55,14 @@ def run_workload(fw, fh, n_iters):
     # planes; bit-exact either way, so these only move the number
     mxu = os.environ.get("VVC_BENCH_MXU", "0") == "1"
     i16 = os.environ.get("VVC_BENCH_I16", "0") == "1"
+    f32 = os.environ.get("VVC_BENCH_F32", "0") == "1"
+    rb = os.environ.get("VVC_BENCH_REBASE", "0") == "1"
     stages = {}
     for mode in ("full", "half"):
         for n_cp in (2, 3):
             spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh,
-                                          mxu_reduce=mxu, i16_taps=i16)
+                                          mxu_reduce=mxu, i16_taps=i16,
+                                          f32_warp=f32, rebase=rb)
             stages[(mode, n_cp)] = affine_plane.build_stage(spec)
     zeros = {
         mode: affine_plane.zero_cpmvs(affine_plane.PlaneSpec(mode, 2, fw, fh))

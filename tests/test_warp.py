@@ -206,6 +206,45 @@ def test_adaptive_dispatch_exact():
     assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
 
 
+@run_in_child
+def test_rebased_dispatch_exact():
+    """Base-relative dispatch (PlaneSpec.rebase): coherent motion of any
+    magnitude rides the narrow rungs with NO escapes; clamped-out extremes
+    still resolve exactly through pass-2/fix-up/fallback."""
+    from vvc_affine_tpu.models import affine_plane as ap
+
+    ap, ref, orig = _eval_setup(6)
+    spec_fast = ap.PlaneSpec("full", 2, FW, FH, use_pallas=True,
+                             interpret=True, R=8, rebase=True)
+    spec_ref = ap.PlaneSpec("full", 2, FW, FH, use_pallas=False)
+    t = ap.build_tables(spec_fast)
+    # uniform 12-px down / 40-px right translation: far beyond R=8, but
+    # the residual range is 0, so the rung-1 rebased kernel is exact and
+    # nothing escapes (the legacy dispatcher would whole-frame fall back)
+    cp = jnp.full((t.n_ctus, t.n_cus, 3, 2), 0, jnp.int32)
+    cp = cp.at[..., :, 0].set(40 * 16).at[..., :, 1].set(12 * 16)
+    s_fast, telem = _eval(ap, spec_fast, t, ref, orig, cp)
+    s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
+    assert int(telem.n_escapes) == 0 and int(telem.n_fallbacks) == 0
+    assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
+    # same global motion + 3-px local jitter: still small residual range
+    rng = np.random.default_rng(12)
+    jit = rng.integers(-48, 49, size=(t.n_ctus, t.n_cus, 3, 2))
+    cp2 = cp + jnp.asarray(jit.astype(np.int32))
+    s_fast, telem = _eval(ap, spec_fast, t, ref, orig, cp2)
+    s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp2)
+    assert int(telem.n_fallbacks) == 0
+    assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
+    # vertical motion beyond the tile margin (60 px down): bases clamp,
+    # blocks exceed the widest rebased kernel, and the escape machinery
+    # must still produce the exact result
+    cp3 = jnp.full((t.n_ctus, t.n_cus, 3, 2), 0, jnp.int32)
+    cp3 = cp3.at[..., :, 1].set(60 * 16)
+    s_fast, telem = _eval(ap, spec_fast, t, ref, orig, cp3)
+    s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp3)
+    assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
+
+
 def test_warp_pallas_i16_taps():
     """int16 tap planes produce bit-identical kernel output (the kernel
     widens at load); exercises the i16_taps perf knob's kernel semantics."""
@@ -220,4 +259,59 @@ def test_warp_pallas_i16_taps():
         *args, warp_ops.expand_lanes(hc.astype(jnp.int16)),
         warp_ops.expand_lanes(vc.astype(jnp.int16)),
         R=R, interpret=True))
+    assert np.array_equal(want, got)
+
+
+@pytest.mark.parametrize("R,f32", [(2, False), (8, False), (2, True)])
+def test_warp_pallas_rebased(R, f32):
+    """The rebased kernel (per-slab base displacement moves the slab slice;
+    dy/dx planes arrive base-subtracted) is bit-identical to warp_xla with
+    the FULL displacements — for bases anywhere inside rebase_base_limits,
+    i.e. coherent motion far beyond R rides the R-kernel.  Also combined
+    with the f32 MAC fields (the shipping-candidate configuration)."""
+    grid, ref, ctu_y, ctu_x, _, _, hc, vc, _, _ = _setup(55 + R, 2, R)
+    n_ctu = grid.num_ctus
+    rng = np.random.default_rng(1000 + R)
+    by_lo, by_hi, bx_lo, bx_hi = warp_ops.rebase_base_limits((R,))
+    by = rng.integers(by_lo, by_hi + 1,
+                      size=(n_ctu, 2, 16)).astype(np.int32)
+    bx = rng.integers(int(bx_lo), int(bx_hi) + 1,
+                      size=(n_ctu, 2, 16)).astype(np.int32)
+    # block displacement = per-slab base + in-range residual
+    resy = rng.integers(-R, R + 1, size=(n_ctu, 2, 32, 32)).astype(np.int32)
+    resx = rng.integers(-R, R + 1, size=(n_ctu, 2, 32, 32)).astype(np.int32)
+    dy = np.repeat(by, 2, axis=-1).reshape(n_ctu, 2, 32, 1) + resy
+    dx = np.repeat(bx, 2, axis=-1).reshape(n_ctu, 2, 32, 1) + resx
+    want = np.asarray(warp_ops.warp_xla(
+        ref, FW, FH, ctu_y, ctu_x, jnp.asarray(dy), jnp.asarray(dx), hc, vc))
+    got = np.asarray(warp_ops.warp_pallas(
+        _tiles_of(ref, grid),
+        warp_ops.expand_lanes(jnp.asarray(resy)),
+        warp_ops.expand_lanes(jnp.asarray(resx)),
+        warp_ops.expand_lanes(hc), warp_ops.expand_lanes(vc),
+        R=R, interpret=True, f32=f32,
+        base_y=jnp.asarray(by), base_x=jnp.asarray(bx)))
+    assert np.array_equal(want, got)
+
+
+@pytest.mark.parametrize("R", [2, 8])
+def test_warp_pallas_f32(R):
+    """The f32 MAC-field kernel variant is bit-identical to the int32 one
+    (exactness proof at ops/warp._warp_kernel: every intermediate is an
+    integer < 2^24, shifts become exact floor-scales).  Extreme phases are
+    forced in (max |coeff| bank rows) so the bound is actually exercised."""
+    grid, ref, ctu_y, ctu_x, dy, dx, hc, vc, _, _ = _setup(88 + R, 2, R)
+    # overwrite some tap planes with the largest-magnitude phases (8: the
+    # widest positive sum; 1/15: the strongest negative lobes)
+    bank = np.asarray(C.LUMA_FILTER_4x4, np.int64)[:, 1:7]
+    fx = np.full((grid.num_ctus, 2, 32, 32), 8)
+    fx[:, :, ::3] = 1
+    fx[:, :, 1::3] = 15
+    hc = jnp.asarray(np.moveaxis(bank[fx], -1, 2).astype(np.int32))
+    args = (_tiles_of(ref, grid),
+            warp_ops.expand_lanes(dy), warp_ops.expand_lanes(dx),
+            warp_ops.expand_lanes(hc), warp_ops.expand_lanes(vc))
+    want = np.asarray(warp_ops.warp_pallas(*args, R=R, interpret=True))
+    got = np.asarray(warp_ops.warp_pallas(*args, R=R, interpret=True,
+                                          f32=True))
     assert np.array_equal(want, got)

@@ -62,7 +62,10 @@ def main():
 
     mxu = "--mxu" in sys.argv
     i16 = "--i16taps" in sys.argv
-    spec = ap.PlaneSpec("full", 2, fw, fh, mxu_reduce=mxu, i16_taps=i16)
+    f32 = "--f32" in sys.argv
+    rb = "--rebase" in sys.argv
+    spec = ap.PlaneSpec("full", 2, fw, fh, mxu_reduce=mxu, i16_taps=i16,
+                        f32_warp=f32, rebase=rb)
     t = ap.build_tables(spec)
     dyn = ap.dyn_tables(t)
 
@@ -118,7 +121,8 @@ def main():
     # same evaluate with a single-rung ladder: the difference isolates the
     # adaptive-dispatch machinery (admax scan, switch, pass-2 merge)
     spec1 = ap.PlaneSpec(spec.mode, spec.n_cp, fw, fh, mxu_reduce=mxu,
-                         i16_taps=i16, adaptive=False)
+                         i16_taps=i16, f32_warp=f32, rebase=rb,
+                         adaptive=False)
     t1 = ap.build_tables(spec1)
     dyn1 = ap.dyn_tables(t1)
     ev1 = jax.jit(lambda c: ap._evaluate(spec1, t1, dyn1, ref, tiles,

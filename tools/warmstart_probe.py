@@ -1,0 +1,59 @@
+"""Diagnose the tunnel's deferred first-execution build cost.
+
+docs/verification.md: even on full compilation-cache hits, the first
+execution of each executable pays a minutes-scale device program build on
+this platform.  This probe measures, in ONE fresh process with a warm
+persistent cache, the trace/lower/compile wall time and the FIRST-RUN and
+second-run wall time of each of the four 1080p stages separately — telling
+us whether the cost is per-executable (then fewer/merged programs fix warm
+start) or per-process (then nothing in the framework can).
+
+    python tools/warmstart_probe.py [WxH]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from vvc_affine_tpu.models import affine_plane
+
+    res = sys.argv[1] if len(sys.argv) > 1 else "1920x1080"
+    fw, fh = (int(v) for v in res.split("x"))
+    rng = np.random.default_rng(2024)
+    ref = jnp.asarray(rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
+    orig = jnp.asarray(
+        rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
+    lam = jnp.float32(78.949063)
+
+    t_start = time.time()
+    prev = {m: affine_plane.zero_cpmvs(affine_plane.PlaneSpec(m, 2, fw, fh))
+            for m in ("full", "half")}
+    for mode in ("full", "half"):
+        for n_cp in (2, 3):
+            spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh)
+            t0 = time.time()
+            stage = affine_plane.build_stage(spec)
+            out = stage(ref, orig, lam, prev[mode])
+            t1 = time.time()
+            np.asarray(out[0].sum())       # first-run barrier
+            t2 = time.time()
+            out = stage(ref, orig, lam, prev[mode])
+            np.asarray(out[0].sum())
+            t3 = time.time()
+            prev[mode] = out[1]
+            print(f"{mode}_{n_cp}cp: dispatch(trace+lower+compile) "
+                  f"{t1 - t0:7.2f}s  first_run {t2 - t1:7.2f}s  "
+                  f"second_run {t3 - t2:6.3f}s", flush=True)
+    print(f"total process warm start: {time.time() - t_start:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

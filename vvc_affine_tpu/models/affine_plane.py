@@ -73,6 +73,20 @@ class PlaneSpec:
     # kernel widens at load).  Exactness-neutral; default off until the
     # Mosaic int16 single-sublane dynamic loads are validated on hardware.
     i16_taps: bool = False
+    # float32 MAC fields inside the warp kernel: the VPU has no native
+    # int32 multiply, so the select/filter fields run faster in f32.
+    # Bit-exact (all intermediates are integers < 2^24; proof at
+    # ops/warp._warp_kernel) — a perf knob.
+    f32_warp: bool = False
+    # base-relative dispatch: subtract a per-(CTU, class, slab) base
+    # displacement (the kernel slides its slab slice by the base instead of
+    # widening the select field), so rung choice / escapes key on the
+    # displacement RANGE within a slab rather than its magnitude — coherent
+    # motion of any size rides the narrowest rung, and fast-path coverage
+    # extends to the tile margins (~±20 rows / ±54 lanes).  Exactness-
+    # neutral: every block beyond the rebased kernel's reach still goes
+    # through the exact fix-up / fallback.
+    rebase: bool = False
 
     @property
     def num_gradient_iters(self) -> int:
@@ -216,15 +230,18 @@ def _class_slice(t: PlaneTables, ci: int):
     return slice(s, s + t.cls[ci].num_cus)
 
 
-def _mv_planes(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, cpmvs):
+def _mv_planes(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, cpmvs,
+               with_valid: bool = False):
     """Per-class displacement/phase planes from canonical CPMVs.
 
-    Returns dy, dx int32 [nCtu, nCls, NB, NB] and fx, fy likewise.
-    Out-of-frame CUs are forced to zero motion so they never trigger the
-    escape fallback (their results are masked out downstream, matching the
-    reference's skipped-pass semantics, affine.cl:192-208).
+    Returns dy, dx int32 [nCtu, nCls, NB, NB] and fx, fy likewise (plus a
+    bool validity plane — within-frame CU slot coverage — when
+    ``with_valid``).  Out-of-frame CUs are forced to zero motion so they
+    never trigger the escape fallback (their results are masked out
+    downstream, matching the reference's skipped-pass semantics,
+    affine.cl:192-208).
     """
-    dys, dxs, fxs, fys = [], [], [], []
+    dys, dxs, fxs, fys, vals = [], [], [], [], []
     for ci, cp_tab in enumerate(t.cls):
         sl = _class_slice(t, ci)
         cp = cpmvs[:, sl]
@@ -262,6 +279,7 @@ def _mv_planes(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, cpmvs):
         dxs.append(mvx >> 4)
         fys.append(mvy & 15)
         fxs.append(mvx & 15)
+        vals.append(wslot.astype(jnp.int32))
 
     def binned(xs):
         # classes in a bin have disjoint slot coverage and zeros elsewhere,
@@ -272,7 +290,10 @@ def _mv_planes(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, cpmvs):
             acc[bi] = v if acc[bi] is None else acc[bi] + v
         return jnp.stack(acc, axis=1)
 
-    return binned(dys), binned(dxs), binned(fxs), binned(fys)
+    out = binned(dys), binned(dxs), binned(fxs), binned(fys)
+    if with_valid:
+        return out + (binned(vals).astype(bool),)
+    return out
 
 
 def _tap_planes(f, dtype=jnp.int32):
@@ -376,7 +397,8 @@ def _static_slab_mask(t: PlaneTables, n_ctu: int):
 
 
 def _warp_kernel_only(spec: PlaneSpec, t: PlaneTables, tiles,
-                      dy, dx, hc, vc, R: int, slab_active=None):
+                      dy, dx, hc, vc, R: int, slab_active=None,
+                      base_y=None, base_x=None):
     if slab_active is None:
         slab_active = _static_slab_mask(t, dy.shape[0])
     return warp_ops.warp_pallas(
@@ -384,7 +406,8 @@ def _warp_kernel_only(spec: PlaneSpec, t: PlaneTables, tiles,
         warp_ops.expand_lanes(dy), warp_ops.expand_lanes(dx),
         warp_ops.expand_lanes(hc), warp_ops.expand_lanes(vc),
         R=R, interpret=spec.interpret,
-        slab_active=slab_active.astype(jnp.int32))
+        slab_active=slab_active.astype(jnp.int32), f32=spec.f32_warp,
+        base_y=base_y, base_x=base_x)
 
 
 def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
@@ -475,7 +498,12 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     ``orig`` is the (orig_pl, orig16) pair from ``_orig_forms``.
     Returns (satd [nCtu,nCU] i64, M, rhs | None, telem: EvalTelemetry).
     """
-    dy, dx, fx, fy = _mv_planes(spec, t, dyn, cpmvs)
+    rb = spec.rebase
+    if rb:
+        dy, dx, fx, fy, val = _mv_planes(spec, t, dyn, cpmvs,
+                                         with_valid=True)
+    else:
+        dy, dx, fx, fy = _mv_planes(spec, t, dyn, cpmvs)
     tap_dtype = jnp.int16 if spec.i16_taps else jnp.int32
     hc = _tap_planes(fx, tap_dtype)
     vc = _tap_planes(fy, tap_dtype)
@@ -496,21 +524,58 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
         # (rare) still go through the exact per-block gather fix-up and
         # its whole-frame fallback, so the dispatch is exact for ANY
         # displacements.
+        #
+        # With spec.rebase, every criterion keys on the RESIDUAL after the
+        # per-slab base subtraction (dist) instead of raw magnitude: the
+        # kernels get base-subtracted planes + the bases, and only blocks
+        # beyond the rebased widest kernel reach the fix-up.
         ladder = spec.r_ladder
         act_static = dyn.slab_act
+        by0 = bx0 = None
+        if rb:
+            BIG = jnp.int32(1 << 20)
+
+            def slab_red(x, fill, red):
+                xm = jnp.where(val, x, fill)
+                return red(xm.reshape(xm.shape[:2] + (16, 2, NB)),
+                           axis=(-2, -1))
+
+            dy_mn = slab_red(dy, BIG, jnp.min)
+            dy_mx = slab_red(dy, -BIG, jnp.max)
+            dx_mn = slab_red(dx, BIG, jnp.min)
+            dx_mx = slab_red(dx, -BIG, jnp.max)
+            anyv = dy_mn <= dy_mx          # any valid block in the slab
+            by_lo, by_hi, bx_lo, bx_hi = warp_ops.rebase_base_limits(ladder)
+            by0 = jnp.where(anyv, (dy_mn + dy_mx) >> 1, 0)
+            bx0 = jnp.where(anyv, (dx_mn + dx_mx) >> 1, 0)
+            by0 = clamp(by0, jnp.asarray(by_lo), jnp.asarray(by_hi))
+            bx0 = clamp(bx0, jnp.int32(bx_lo), jnp.int32(bx_hi))
+            dy_k = dy - jnp.repeat(by0, 2, axis=-1)[..., None]
+            dx_k = dx - jnp.repeat(bx0, 2, axis=-1)[..., None]
+            # dispatch/escape distance: residual |d'| over VALID blocks
+            admax = jnp.where(
+                val, jnp.maximum(jnp.abs(dy_k), jnp.abs(dx_k)), 0)
+        else:
+            dy_k, dx_k = dy, dx
+            admax = None
+
+        def run_kernel(r, act):
+            return _warp_kernel_only(spec, t, tiles, dy_k, dx_k, hc, vc, r,
+                                     act, by0, bx0)
+
         if len(ladder) == 1:
-            pred = _warp_kernel_only(spec, t, tiles, dy, dx, hc, vc,
-                                     ladder[0], act_static)
+            pred = run_kernel(ladder[0], act_static)
             pred, telem = _escape_fixup(
                 spec, t, dyn, ref_flat, pred, dy, dx, hc, vc,
-                jnp.int32(ladder[0]))
+                jnp.int32(ladder[0]), admax=admax)
         else:
             r_max = ladder[-1]
             # ONE pass over the displacement planes feeds every dispatch
             # decision: per-block max |d|, then a per-slab max — all rung
             # escape counts, the pass-2 slab set, and the fix-up flags are
             # tiny [nCtu, nBins, 16] / scalar ops on top of these
-            admax = jnp.maximum(jnp.abs(dy), jnp.abs(dx))
+            if admax is None:
+                admax = jnp.maximum(jnp.abs(dy), jnp.abs(dx))
             admax_slab = admax.reshape(
                 admax.shape[:2] + (16, 2, NB)).max(axis=(-2, -1))
 
@@ -530,18 +595,14 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
 
             pred = lax.switch(
                 branch,
-                [lambda _, r=r: _warp_kernel_only(
-                    spec, t, tiles, dy, dx, hc, vc, r, act_static)
-                 for r in ladder],
+                [lambda _, r=r: run_kernel(r, act_static) for r in ladder],
                 None)
             rt = jnp.asarray(np.asarray(ladder, np.int32))[branch]
             esc_slabs = admax_slab > rt
 
             def pass2(pred1):
                 act2 = (esc_slabs & act_static.astype(bool))
-                pred2 = _warp_kernel_only(
-                    spec, t, tiles, dy, dx, hc, vc, r_max,
-                    act2.astype(jnp.int32))
+                pred2 = run_kernel(r_max, act2.astype(jnp.int32))
                 esc_s = warp_ops.expand_lanes(
                     jnp.repeat(admax > rt, 4, axis=-2))
                 return jnp.where(esc_s, pred2, pred1)

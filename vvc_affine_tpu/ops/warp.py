@@ -179,103 +179,188 @@ def build_tiles(refpad, n_ctu_y: int, n_ctu_x: int):
     return tiles.transpose(0, 2, 1, 3).reshape(ny * nx, TILE_H, TILE_W)
 
 
-def _warp_kernel(R: int):
-    # 6-tap support (see module docstring): s = dx + t - 3, t in [1, 6]
+def _geom(R: int):
+    """Shared select-field geometry for the warp kernel at bound R."""
     NS = 2 * R + 6           # HMASK support: s in [-R-2, R+3]
     S0 = -(R + 2)
     DIRECT_DY = 2 * R + 1 <= 5
     # candidate rows: W rows [1, 10) shifted by dy in [0, 2R]; the radix-4
     # dy-select's coarse window reads ht[4*(2R//4) : +12], so NR pads up
     NR = (2 * R + 9) if DIRECT_DY else (4 * ((2 * R) // 4) + 12)
-    SLAB_H = -(-(26 - R + NR) // 8) * 8   # max row touched: RLO(j=1)+NR-1
+    return NS, S0, DIRECT_DY, NR
 
-    def kernel(act_ref, dy_ref, dx_ref, hc_ref, vc_ref, tile_ref, out_ref,
-               rows8):
-        def slab_body(k):
+
+def _rb_geom(R: int):
+    """Rebased-kernel slab geometry: the slab slice starts at the first
+    candidate row (8k + by0 + 22 - R), so rows [4j, 4j + NR) are the j-th
+    block row's candidates and SLAB_H shrinks to the used rows only."""
+    NS, S0, DIRECT_DY, NR = _geom(R)
+    SLAB_H = -(-(4 + NR) // 8) * 8
+    WS = 128 + NS - 1        # lane window after the per-slab dx rebase
+    return NS, S0, DIRECT_DY, NR, SLAB_H, WS
+
+
+def rebase_base_limits(R_ladder):
+    """Legal per-slab base windows for the rebased kernel, intersected over
+    every rung in ``R_ladder`` (the pass-2/fix-up kernel runs at the widest
+    rung around the SAME base, so one base must be legal for all).
+
+    Returns (by_lo[16], by_hi[16], bx_lo, bx_hi) as numpy int32; a base
+    clamped into these windows always yields in-bounds tile slices in
+    _warp_kernel(rebase=True).
+    """
+    ks = np.arange(16)
+    by_lo = np.full(16, -(1 << 30))
+    by_hi = np.full(16, 1 << 30)
+    bx_lo, bx_hi = -(1 << 30), 1 << 30
+    for R in R_ladder:
+        NS, S0, _, NR, SLAB_H, WS = _rb_geom(R)
+        # rows: sb = 8k + by0 + 22 - R must satisfy 0 <= sb <= TILE_H-SLAB_H
+        by_lo = np.maximum(by_lo, R - 22 - 8 * ks)
+        by_hi = np.minimum(by_hi, TILE_H - SLAB_H - 8 * ks - 22 + R)
+        # lanes: lane0 = TILE_LEFT + S0 + bx0, 0 <= lane0 <= TILE_W - WS
+        bx_lo = max(bx_lo, -(TILE_LEFT + S0))
+        bx_hi = min(bx_hi, TILE_W - WS - TILE_LEFT - S0)
+    return (by_lo.astype(np.int32), by_hi.astype(np.int32),
+            np.int32(bx_lo), np.int32(bx_hi))
+
+
+def _warp_kernel(R: int, f32: bool = False, rebase: bool = False):
+    NS, S0, DIRECT_DY, NR = _geom(R)
+    if rebase:
+        _, _, _, _, SLAB_H, WS = _rb_geom(R)
+    else:
+        SLAB_H = -(-(26 - R + NR) // 8) * 8  # max row: RLO(j=1)+NR-1
+
+    # f32 arithmetic variant: the VPU has no native 32-bit integer multiply
+    # (int32 muls are emulated in 16-bit pieces), so the Ht/vertical MAC
+    # fields run much faster as float32.  Bit-exactness is provable: every
+    # intermediate is an integer below 2^24 (f32 is exact there) —
+    # horizontal acc <= 1023 * sum|coeff| (<= 94) < 2^17, +|OFF1| < 2^18;
+    # tmp < 2^15.2; vertical acc <= tmp * 94 < 2^22, +OFF2 < 2^23 — and the
+    # two arithmetic right-shifts become exact floor(x * 2^-s) (the scale is
+    # a power of two, floor matches >> for negatives).
+    acc_dtype = jnp.float32 if f32 else jnp.int32
+
+    def _shift(x, off: int, sh: int):
+        if f32:
+            return jnp.floor((x + jnp.float32(off)) * jnp.float32(2.0 ** -sh))
+        return (x + off) >> sh
+
+    def body(k, by_ref, bx_ref, dy_ref, dx_ref, hc_ref, vc_ref, tile_ref,
+             out_ref, rows8):
+        if rebase:
+            # Rebased slab: the per-slab base displacement (by0, bx0) moves
+            # the slice window instead of widening the select field, so the
+            # kernel's R only has to cover the RANGE of displacements within
+            # the slab, not their magnitude (coherent motion of any size
+            # rides the narrowest rung).  Bases are host-clamped into
+            # rebase_base_limits, so both dynamic slices are in-bounds; the
+            # dy/dx planes arrive base-subtracted (|.| <= R).
+            sb = 8 * k + (22 - R) + by_ref[0, 0, 0, k]
+            lane0 = (TILE_LEFT + S0) + bx_ref[0, 0, 0, k]
+            slab = tile_ref[0, pl.ds(sb, SLAB_H),
+                            pl.ds(lane0, WS)].astype(acc_dtype)
+        else:
             # slab k (block rows 2k, 2k+1) reads tile rows [8k, 8k+SLAB_H)
             # (body predicated off for slabs with no valid blocks in this
             # bin — 23% of half-aligned slabs; consumers mask those slots)
-            slab = tile_ref[0, 8 * k:8 * k + SLAB_H, :].astype(jnp.int32)
+            slab = tile_ref[0, 8 * k:8 * k + SLAB_H, :].astype(acc_dtype)
 
-            for j in range(2):
-                sy = 2 * k + j
-                dyl = dy_ref[0, 0, pl.ds(sy, 1), :]     # [1, 128]
-                dxl = dx_ref[0, 0, pl.ds(sy, 1), :]
+        for j in range(2):
+            sy = 2 * k + j
+            dyl = dy_ref[0, 0, pl.ds(sy, 1), :]     # [1, 128]
+            dxl = dx_ref[0, 0, pl.ds(sy, 1), :]
 
-                # ---- HMASK: fused dx-select + horizontal taps ----
-                # NB: must be `- (R+2)`, not `+ S0`: an add with a negative
-                # i32 constant sends Mosaic's convert lowering into infinite
-                # recursion (jax 0.9.0)
-                srow = jax.lax.broadcasted_iota(
-                    jnp.int32, (NS, 128), 0) - (R + 2)
-                tsel = srow - dxl + 3
-                hmask = jnp.zeros((NS, 128), jnp.int32)
-                for t in range(1, 7):
-                    # taps arrive int16 (half the DMA); widen at load
-                    hct = hc_ref[0, 0, t - 1, pl.ds(sy, 1), :].astype(
-                        jnp.int32)
-                    hmask = jnp.where(tsel == t, hct, hmask)
+            # ---- HMASK: fused dx-select + horizontal taps ----
+            # NB: must be `- (R+2)`, not `+ S0`: an add with a negative
+            # i32 constant sends Mosaic's convert lowering into infinite
+            # recursion (jax 0.9.0)
+            srow = jax.lax.broadcasted_iota(
+                jnp.int32, (NS, 128), 0) - (R + 2)
+            tsel = srow - dxl + 3
+            hmask = jnp.zeros((NS, 128), acc_dtype)
+            for t in range(1, 7):
+                # taps arrive int16 (half the DMA); widen at load
+                hct = hc_ref[0, 0, t - 1, pl.ds(sy, 1), :].astype(
+                    acc_dtype)
+                hmask = jnp.where(tsel == t, hct, hmask)
 
-                # ---- Ht: horizontal filter at all candidate rows ----
-                # candidate rows rel slab: [4j + 22 - R, 4j + 31 + R)
-                RLO = 4 * j + 22 - R
-                ht = jnp.zeros((NR, 128), jnp.int32)
-                for si in range(NS):
-                    s = S0 + si
-                    seg = slab[RLO:RLO + NR,
-                               TILE_LEFT + s:TILE_LEFT + s + 128]
-                    ht = ht + seg * hmask[si:si + 1, :]
-                ht = (ht + _OFF1) >> _SHIFT1
+            # ---- Ht: horizontal filter at all candidate rows ----
+            # candidate rows rel slab: [4j + 22 - R, 4j + 31 + R)
+            # (rebased slab starts at the first candidate row: RLO = 4j)
+            RLO = 4 * j if rebase else 4 * j + 22 - R
+            CL = 0 if rebase else TILE_LEFT + S0
+            ht = jnp.zeros((NR, 128), acc_dtype)
+            for si in range(NS):
+                seg = slab[RLO:RLO + NR, CL + si:CL + si + 128]
+                ht = ht + seg * hmask[si:si + 1, :]
+            ht = _shift(ht, _OFF1, _SHIFT1)
 
-                # ---- dy-select: w9[wy, x] = Ht[dy(x) + R + wy, x] ----
-                # direct (2R+1 selects of 9 rows) for small R; radix-4
-                # (coarse selects of 12 rows + 4 selects of 9) beyond
-                dq = dyl + R
-                w = jnp.zeros((9, 128), jnp.int32)
-                if DIRECT_DY:
-                    for d in range(2 * R + 1):
-                        w = jnp.where(dq == d, ht[d:d + 9, :], w)
-                else:
-                    NCOARSE = (2 * R) // 4 + 1
-                    htc = jnp.zeros((12, 128), jnp.int32)
-                    for cq in range(NCOARSE):
-                        htc = jnp.where(dq // 4 == cq,
-                                        ht[4 * cq:4 * cq + 12, :], htc)
-                    for fq in range(4):
-                        w = jnp.where(dq % 4 == fq, htc[fq:fq + 9, :], w)
+            # ---- dy-select: w9[wy, x] = Ht[dy(x) + R + wy, x] ----
+            # direct (2R+1 selects of 9 rows) for small R; radix-4
+            # (coarse selects of 12 rows + 4 selects of 9) beyond
+            dq = dyl + R
+            w = jnp.zeros((9, 128), acc_dtype)
+            if DIRECT_DY:
+                for d in range(2 * R + 1):
+                    w = jnp.where(dq == d, ht[d:d + 9, :], w)
+            else:
+                NCOARSE = (2 * R) // 4 + 1
+                htc = jnp.zeros((12, 128), acc_dtype)
+                for cq in range(NCOARSE):
+                    htc = jnp.where(dq // 4 == cq,
+                                    ht[4 * cq:4 * cq + 12, :], htc)
+                for fq in range(4):
+                    w = jnp.where(dq % 4 == fq, htc[fq:fq + 9, :], w)
 
-                # ---- vertical filter (6 taps: w9 rows [u, u+4)) ----
-                pred = jnp.zeros((4, 128), jnp.int32)
-                for u in range(6):
-                    vct = vc_ref[0, 0, u, pl.ds(sy, 1), :].astype(jnp.int32)
-                    pred = pred + w[u:u + 4, :] * vct
-                pred = (pred + _OFF2) >> _SHIFT2
-                # int32 bounds: with jax_enable_x64 on, python-int clip
-                # bounds become i64 scalars, and i64->i32 converts inside a
-                # Mosaic kernel infinitely recurse (jax 0.9.0)
-                pred = jnp.clip(pred, jnp.int32(C.CLP_RNG_MIN),
-                                jnp.int32(C.CLP_RNG_MAX))
-                rows8[4 * j:4 * j + 4, :] = pred.astype(jnp.int16)
+            # ---- vertical filter (6 taps: w9 rows [u, u+4)) ----
+            pred = jnp.zeros((4, 128), acc_dtype)
+            for u in range(6):
+                vct = vc_ref[0, 0, u, pl.ds(sy, 1), :].astype(acc_dtype)
+                pred = pred + w[u:u + 4, :] * vct
+            pred = _shift(pred, _OFF2, _SHIFT2)
+            # int32 bounds: with jax_enable_x64 on, python-int clip
+            # bounds become i64 scalars, and i64->i32 converts inside a
+            # Mosaic kernel infinitely recurse (jax 0.9.0)
+            pred = jnp.clip(pred, jnp.asarray(C.CLP_RNG_MIN, acc_dtype),
+                            jnp.asarray(C.CLP_RNG_MAX, acc_dtype))
+            if f32:
+                pred = pred.astype(jnp.int32)
+            rows8[4 * j:4 * j + 4, :] = pred.astype(jnp.int16)
 
-            out_ref[0, 0, 8 * k:8 * k + 8, :] = rows8[:, :]
+        out_ref[0, 0, 8 * k:8 * k + 8, :] = rows8[:, :]
 
-        # static unroll: fori_loop counters are int64 under jax_enable_x64,
-        # and int64 index arithmetic inside Mosaic kernels breaks lowering
-        # (infinite _convert_helper recursion, jax 0.9.0); the static form
-        # also gives Mosaic compile-time slab addresses.
-        for k in range(16):
-            @pl.when(act_ref[0, 0, 0, k] != 0)
-            def _(k=k):
-                slab_body(k)
+    # static unroll: fori_loop counters are int64 under jax_enable_x64,
+    # and int64 index arithmetic inside Mosaic kernels breaks lowering
+    # (infinite _convert_helper recursion, jax 0.9.0); the static form
+    # also gives Mosaic compile-time slab addresses.
+    if rebase:
+        def kernel(act_ref, by_ref, bx_ref, dy_ref, dx_ref, hc_ref, vc_ref,
+                   tile_ref, out_ref, rows8):
+            for k in range(16):
+                @pl.when(act_ref[0, 0, 0, k] != 0)
+                def _(k=k):
+                    body(k, by_ref, bx_ref, dy_ref, dx_ref, hc_ref, vc_ref,
+                         tile_ref, out_ref, rows8)
+    else:
+        def kernel(act_ref, dy_ref, dx_ref, hc_ref, vc_ref, tile_ref,
+                   out_ref, rows8):
+            for k in range(16):
+                @pl.when(act_ref[0, 0, 0, k] != 0)
+                def _(k=k):
+                    body(k, None, None, dy_ref, dx_ref, hc_ref, vc_ref,
+                         tile_ref, out_ref, rows8)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _warp_pallas_fn(n_ctu: int, n_cls: int, R: int, interpret: bool):
+def _warp_pallas_fn(n_ctu: int, n_cls: int, R: int, interpret: bool,
+                    f32: bool = False, rebase: bool = False):
     if not 1 <= R <= MAX_R:
         raise ValueError(f"R must be in [1, {MAX_R}]")
-    kernel = _warp_kernel(R)
+    kernel = _warp_kernel(R, f32, rebase)
 
     def im_act(i, c):
         return (i, c, 0, 0)
@@ -286,23 +371,28 @@ def _warp_pallas_fn(n_ctu: int, n_cls: int, R: int, interpret: bool):
     def im_tap(i, c):
         return (i, c, 0, 0, 0)
 
+    # act is [nCtu, nCls, 1, 16]: Mosaic requires the block's last
+    # two dims to equal the array's (or be (8k, 128k))
+    smem16 = pl.BlockSpec((1, 1, 1, 16), im_act, memory_space=pltpu.SMEM)
+    in_specs = [smem16]
+    if rebase:
+        in_specs += [smem16, smem16]   # by0, bx0 per (ctu, cls, slab)
+    in_specs += [
+        pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 6, NB, 128), im_tap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 6, NB, 128), im_tap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_H, TILE_W), lambda i, c: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
     # grid iterates classes fastest, so the (class-independent) tile block
     # is fetched once per CTU and reused across all n_cls steps
     return pl.pallas_call(
         kernel,
         grid=(n_ctu, n_cls),
         out_shape=jax.ShapeDtypeStruct((n_ctu, n_cls, 128, 128), jnp.int16),
-        in_specs=[
-            # act is [nCtu, nCls, 1, 16]: Mosaic requires the block's last
-            # two dims to equal the array's (or be (8k, 128k))
-            pl.BlockSpec((1, 1, 1, 16), im_act, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 6, NB, 128), im_tap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 6, NB, 128), im_tap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, c: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, 128, 128), lambda i, c: (i, c, 0, 0),
             memory_space=pltpu.VMEM),
@@ -319,7 +409,8 @@ def expand_lanes(plane):
 
 
 def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
-                interpret: bool = False, slab_active=None):
+                interpret: bool = False, slab_active=None,
+                f32: bool = False, base_y=None, base_x=None):
     """Fast dense warp; exact iff all |dy|,|dx| <= R.
 
     tiles: int16 [nCtu, TILE_H, TILE_W] from build_tiles; dy_l/dx_l: int32
@@ -329,6 +420,10 @@ def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
     are skipped and their output rows are unspecified (used both for the
     static never-valid slabs of half-aligned classes and for the dynamic
     escaped-slab second pass of the adaptive dispatcher).
+    base_y/base_x: optional int32 [nCtu, nCls, 16] per-slab base
+    displacements (the rebased kernel; must be inside rebase_base_limits).
+    When given, dy_l/dx_l must already be base-subtracted — the kernel is
+    then exact iff all |dy - by0|, |dx - bx0| <= R.
     Returns int16 [nCtu, nCls, 128, 128] (samples are 10-bit; keeping the
     planes int16 halves the HBM traffic of every downstream reduction).
     """
@@ -336,7 +431,8 @@ def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
     if slab_active is None:
         slab_active = jnp.ones((n_ctu, n_cls, 16), jnp.int32)
     slab_active = slab_active.reshape(n_ctu, n_cls, 1, 16)
-    fn = _warp_pallas_fn(n_ctu, n_cls, R, interpret)
+    rebase = base_y is not None
+    fn = _warp_pallas_fn(n_ctu, n_cls, R, interpret, f32, rebase)
     # Trace the kernel with x64 semantics off: the package enables
     # jax_enable_x64 globally (the VTM solver needs f64), which leaks i64
     # loop counters / literals into the kernel, and i64 inside a Mosaic
@@ -344,6 +440,10 @@ def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
     # func.return legalization failures, jax 0.9.0).  All kernel dtypes are
     # explicit, so semantics are unchanged.
     with jax.enable_x64(False):
+        if rebase:
+            by = base_y.reshape(n_ctu, n_cls, 1, 16).astype(jnp.int32)
+            bx = base_x.reshape(n_ctu, n_cls, 1, 16).astype(jnp.int32)
+            return fn(slab_active, by, bx, dy_l, dx_l, hc_l, vc_l, tiles)
         return fn(slab_active, dy_l, dx_l, hc_l, vc_l, tiles)
 
 
