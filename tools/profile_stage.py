@@ -60,12 +60,16 @@ def main():
     orig = jnp.asarray(rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
     lam = jnp.float32(78.949063)
 
-    mxu = "--mxu" in sys.argv
-    i16 = "--i16taps" in sys.argv
-    f32 = "--f32" in sys.argv
-    rb = "--rebase" in sys.argv
-    spec = ap.PlaneSpec("full", 2, fw, fh, mxu_reduce=mxu, i16_taps=i16,
-                        f32_warp=f32, rebase=rb)
+    # knob flags: --mxu / --no-mxu etc.; absent -> the shipped default
+    knobs = {}
+    for flag, name in (("mxu", "mxu_reduce"), ("i16taps", "i16_taps"),
+                       ("f32", "f32_warp"), ("rebase", "rebase")):
+        if f"--{flag}" in sys.argv:
+            knobs[name] = True
+        elif f"--no-{flag}" in sys.argv:
+            knobs[name] = False
+    spec = ap.PlaneSpec("full", 2, fw, fh, **knobs)
+    i16 = spec.i16_taps
     t = ap.build_tables(spec)
     dyn = ap.dyn_tables(t)
 
@@ -120,9 +124,8 @@ def main():
 
     # same evaluate with a single-rung ladder: the difference isolates the
     # adaptive-dispatch machinery (admax scan, switch, pass-2 merge)
-    spec1 = ap.PlaneSpec(spec.mode, spec.n_cp, fw, fh, mxu_reduce=mxu,
-                         i16_taps=i16, f32_warp=f32, rebase=rb,
-                         adaptive=False)
+    spec1 = ap.PlaneSpec(spec.mode, spec.n_cp, fw, fh, adaptive=False,
+                         **knobs)
     t1 = ap.build_tables(spec1)
     dyn1 = ap.dyn_tables(t1)
     ev1 = jax.jit(lambda c: ap._evaluate(spec1, t1, dyn1, ref, tiles,

@@ -43,7 +43,7 @@ def _frames(fw, fh, seed=0):
                                            dtype=np.int32).ravel())
 
 
-def _run_chain(fw, fh, mxu, i16):
+def _run_chain(fw, fh, knobs):
     import jax.numpy as jnp
 
     from vvc_affine_tpu.models import affine_plane as ap
@@ -55,8 +55,7 @@ def _run_chain(fw, fh, mxu, i16):
     out = {}
     prev = {}
     for mode, n_cp in STAGES:
-        spec = ap.PlaneSpec(mode, n_cp, fw, fh,
-                            mxu_reduce=mxu, i16_taps=i16)
+        spec = ap.PlaneSpec(mode, n_cp, fw, fh, **knobs)
         stage = ap.build_stage(spec)
         pv = prev.get(mode) if n_cp == 3 else ap.zero_cpmvs(spec)
         t0 = time.time()
@@ -75,18 +74,24 @@ def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     res = pos[0] if pos else "416x240"
     fw, fh = (int(v) for v in res.split("x"))
-    mxu = "--mxu" in sys.argv
-    i16 = "--i16taps" in sys.argv
+    # knob flags: --mxu / --no-mxu etc.; absent -> the shipped default
+    knobs = {}
+    for flag, name in (("mxu", "mxu_reduce"), ("i16taps", "i16_taps"),
+                       ("f32", "f32_warp"), ("rebase", "rebase")):
+        if f"--{flag}" in sys.argv:
+            knobs[name] = True
+        elif f"--no-{flag}" in sys.argv:
+            knobs[name] = False
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
     npz = os.environ.get("VVC_TPU_PARITY_NPZ", "/tmp/tpu_parity_golden.npz")
     if os.environ.get("VVC_TPU_PARITY_CHILD"):
-        np.savez(npz, **_run_chain(fw, fh, mxu, i16))
+        np.savez(npz, **_run_chain(fw, fh, knobs))
         return
 
-    print(f"parity run {fw}x{fh} mxu={mxu} i16={i16}")
+    print(f"parity run {fw}x{fh} knobs={knobs}")
     print("CPU golden (child process)...", flush=True)
     env = dict(os.environ, VVC_AFFINE_TPU_PLATFORM="cpu",
                VVC_TPU_PARITY_CHILD="1", VVC_TPU_PARITY_NPZ=npz)
@@ -99,11 +104,17 @@ def main():
     #                        before the backend initializes)
     import jax
     backend = jax.default_backend()
-    got = _run_chain(fw, fh, mxu, i16)
+    got = _run_chain(fw, fh, knobs)
 
     report = {
         "resolution": f"{fw}x{fh}", "backend": backend,
-        "mxu_reduce": mxu, "i16_taps": i16, "stages": {}, "ok": True,
+        "knob_overrides": knobs,
+        "shipped_spec_defaults": {
+            k: getattr(__import__("vvc_affine_tpu.models.affine_plane",
+                                  fromlist=["PlaneSpec"]).PlaneSpec(
+                "full", 2, fw, fh), k)
+            for k in ("mxu_reduce", "i16_taps", "f32_warp", "rebase")},
+        "stages": {}, "ok": True,
     }
     for k in sorted(golden):
         match = bool(np.array_equal(golden[k], got[k]))

@@ -38,9 +38,14 @@ def main():
         out_dir = sys.argv[sys.argv.index("--out") + 1]
     os.makedirs(out_dir, exist_ok=True)
 
-    mxu = "--mxu" in sys.argv
-    i16 = "--i16taps" in sys.argv
-    f32 = "--f32" in sys.argv
+    # knob flags: --mxu / --no-mxu etc.; absent -> the shipped default
+    knobs = {}
+    for flag, name in (("mxu", "mxu_reduce"), ("i16taps", "i16_taps"),
+                       ("f32", "f32_warp"), ("rebase", "rebase")):
+        if f"--{flag}" in sys.argv:
+            knobs[name] = True
+        elif f"--no-{flag}" in sys.argv:
+            knobs[name] = False
 
     rng = np.random.default_rng(2024)
     yy, xx = np.mgrid[0:fh, 0:fw]
@@ -55,8 +60,7 @@ def main():
     stages = {}
     for mode in ("full", "half"):
         for n_cp in (2, 3):
-            spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh, mxu_reduce=mxu,
-                                          i16_taps=i16, f32_warp=f32)
+            spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh, **knobs)
             stages[(mode, n_cp)] = affine_plane.build_stage(spec)
     zeros = {
         mode: affine_plane.zero_cpmvs(affine_plane.PlaneSpec(mode, 2, fw, fh))

@@ -70,9 +70,9 @@ class PlaneSpec:
     # path; bit-exact either way (blockstat docstring) — a perf knob
     mxu_reduce: bool = False
     # int16 tap planes (halves the largest per-evaluate tensors; the warp
-    # kernel widens at load).  Exactness-neutral; default off until the
-    # Mosaic int16 single-sublane dynamic loads are validated on hardware.
-    i16_taps: bool = False
+    # kernel widens at load).  Exactness-neutral; default ON — measured
+    # +7.6% end-to-end on the TPU with rebase (docs/ab_r03.md).
+    i16_taps: bool = True
     # float32 MAC fields inside the warp kernel: the VPU has no native
     # int32 multiply, so the select/filter fields run faster in f32.
     # Bit-exact (all intermediates are integers < 2^24; proof at
@@ -85,8 +85,10 @@ class PlaneSpec:
     # motion of any size rides the narrowest rung, and fast-path coverage
     # extends to the tile margins (~±20 rows / ±54 lanes).  Exactness-
     # neutral: every block beyond the rebased kernel's reach still goes
-    # through the exact fix-up / fallback.
-    rebase: bool = False
+    # through the exact fix-up / fallback.  Default ON — measured 1.43 ->
+    # 1.00 s per 1080p frame-ref on the TPU (docs/ab_r03.md); the window
+    # resolves via hardware-probed Mosaic mechanisms (ops/warp._warp_kernel).
+    rebase: bool = True
 
     @property
     def num_gradient_iters(self) -> int:

@@ -61,9 +61,12 @@ MAX_R = 16   # tile geometry supports |displacement| bound R up to this
 # (r, c) sits at tile (r + TILE_TOP, c + TILE_LEFT).  Row reach per 4x4 block
 # at block-row by with |dy| <= R is [4 by - R - 2, 4 by + R + 7); column
 # reach is [c - R - 2, c + R + 4) — both inside the tile for R <= MAX_R.
+# TILE_H carries 8 extra rows beyond the legacy kernels' 176-row reach so
+# the rebased kernel's 8-row-taller aligned load window keeps the same
+# bottom-slab base reach (see rebase_base_limits).
 TILE_TOP = 24
 TILE_LEFT = PAD
-TILE_H = 176
+TILE_H = 184
 TILE_W = 256
 
 _SHIFT1 = C.IF_FILTER_PREC - 4                    # 2
@@ -73,7 +76,10 @@ _OFF2 = (1 << (_SHIFT2 - 1)) + (C.IF_INTERNAL_OFFS << C.IF_FILTER_PREC)
 
 
 def refpad_shape(n_ctu_y: int, n_ctu_x: int) -> Tuple[int, int]:
-    return PAD + 128 * n_ctu_y + 32, PAD + 128 * n_ctu_x + 64
+    # bottom margin = TILE_H - 128 - TILE_TOP exactly: the last CTU row's
+    # tile ends at refpad row 128 n_ctu_y + PAD - TILE_TOP + TILE_H
+    return PAD + 128 * n_ctu_y + (TILE_H - 128 - TILE_TOP), \
+        PAD + 128 * n_ctu_x + 64
 
 
 def build_refpad(ref_flat, frame_w: int, frame_h: int,
@@ -215,9 +221,10 @@ def rebase_base_limits(R_ladder):
     bx_lo, bx_hi = -(1 << 30), 1 << 30
     for R in R_ladder:
         NS, S0, _, NR, SLAB_H, WS = _rb_geom(R)
-        # rows: sb = 8k + by0 + 22 - R must satisfy 0 <= sb <= TILE_H-SLAB_H
+        # rows: the kernel loads SLAB_H+8 rows from the 8-aligned floor of
+        # sb = 8k + by0 + 22 - R, so 0 <= sb <= TILE_H - SLAB_H - 8
         by_lo = np.maximum(by_lo, R - 22 - 8 * ks)
-        by_hi = np.minimum(by_hi, TILE_H - SLAB_H - 8 * ks - 22 + R)
+        by_hi = np.minimum(by_hi, TILE_H - SLAB_H - 8 - 8 * ks - 22 + R)
         # lanes: lane0 = TILE_LEFT + S0 + bx0, 0 <= lane0 <= TILE_W - WS
         bx_lo = max(bx_lo, -(TILE_LEFT + S0))
         bx_hi = min(bx_hi, TILE_W - WS - TILE_LEFT - S0)
@@ -255,12 +262,27 @@ def _warp_kernel(R: int, f32: bool = False, rebase: bool = False):
             # kernel's R only has to cover the RANGE of displacements within
             # the slab, not their magnitude (coherent motion of any size
             # rides the narrowest rung).  Bases are host-clamped into
-            # rebase_base_limits, so both dynamic slices are in-bounds; the
-            # dy/dx planes arrive base-subtracted (|.| <= R).
-            sb = 8 * k + (22 - R) + by_ref[0, 0, 0, k]
+            # rebase_base_limits, so the window is in-bounds; the dy/dx
+            # planes arrive base-subtracted (|.| <= R).
+            #
+            # Mosaic only lowers dynamic REF loads whose sublane start is
+            # provably a multiple of 8 and whose lane start is static
+            # (hardware-probed: tools/mosaic_probe.py), so the dynamic
+            # window resolves in three probe-validated steps: an 8-aligned
+            # dynamic row load 8 rows taller than needed, a dynamic sublane
+            # roll for the 0..7 row residual, and a dynamic lane roll for
+            # the column base.  pltpu.roll(x, s, a): out[i] = x[(i-s) mod n]
+            # — to bring src index `off` to 0, shift by (n - off) % n; the
+            # wrapped tail lands beyond the rows/lanes the body reads.
+            sb_raw = 8 * k + (22 - R) + by_ref[0, 0, 0, k]
+            q8 = pl.multiple_of((sb_raw >> 3) << 3, 8)
+            nrow = SLAB_H + 8
+            wide = tile_ref[0, pl.ds(q8, nrow), :].astype(acc_dtype)
+            rr = sb_raw & 7
+            wide = pltpu.roll(wide, (nrow - rr) % nrow, 0)
             lane0 = (TILE_LEFT + S0) + bx_ref[0, 0, 0, k]
-            slab = tile_ref[0, pl.ds(sb, SLAB_H),
-                            pl.ds(lane0, WS)].astype(acc_dtype)
+            # lane-roll only the rows the body reads ([0, 4 + NR) <= SLAB_H)
+            slab = pltpu.roll(wide[0:SLAB_H, :], (TILE_W - lane0) % TILE_W, 1)
         else:
             # slab k (block rows 2k, 2k+1) reads tile rows [8k, 8k+SLAB_H)
             # (body predicated off for slabs with no valid blocks in this
