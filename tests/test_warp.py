@@ -172,12 +172,17 @@ def test_escape_scatter_exact():
 
 @run_in_child
 def test_adaptive_dispatch_exact():
-    """The R-ladder dispatcher is exact at every rung boundary."""
+    """The magnitude-keyed (legacy, rebase=False) R-ladder dispatcher is
+    exact at every rung boundary.  rebase is pinned OFF here: these
+    telemetry expectations (outliers reaching the escape fix-up) are
+    specific to magnitude keying — under the shipped rebase=True default
+    the per-slab base absorbs them (covered by
+    test_adaptive_dispatch_rebased_telemetry below)."""
     from vvc_affine_tpu.models import affine_plane as ap
 
     ap, ref, orig = _eval_setup(5)
     spec_fast = ap.PlaneSpec("full", 2, FW, FH, use_pallas=True,
-                             interpret=True, R=8)
+                             interpret=True, R=8, rebase=False)
     spec_ref = ap.PlaneSpec("full", 2, FW, FH, use_pallas=False)
     assert spec_fast.r_ladder == (1, 2, 4, 8)
     t = ap.build_tables(spec_fast)
@@ -203,6 +208,30 @@ def test_adaptive_dispatch_exact():
     s_fast, telem = _eval(ap, spec_fast, t, ref, orig, cp)
     s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
     assert int(telem.n_escapes) > 0 and int(telem.n_fallbacks) == 0
+    assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
+
+
+@run_in_child
+def test_adaptive_dispatch_rebased_telemetry():
+    """Shipped-default (rebase=True) telemetry counterpart of the legacy
+    dispatch test: the same 10-px outlier CUs that force escapes under
+    magnitude keying are absorbed by per-slab rebasing (residual range 0
+    within the outlier slabs), so NOTHING escapes — and the result is
+    still bit-identical to the gather engine."""
+    from vvc_affine_tpu.models import affine_plane as ap
+
+    ap, ref, orig = _eval_setup(5)
+    spec_fast = ap.PlaneSpec("full", 2, FW, FH, use_pallas=True,
+                             interpret=True, R=8, rebase=True)
+    spec_ref = ap.PlaneSpec("full", 2, FW, FH, use_pallas=False)
+    t = ap.build_tables(spec_fast)
+    cp = jnp.full((t.n_ctus, t.n_cus, 3, 2), 16, jnp.int32)
+    s32 = t.strides[6]
+    for ctu, cu in ((0, 1), (2, 5)):
+        cp = cp.at[ctu, s32 + cu, :, 0].set(160).at[ctu, s32 + cu, :, 1].set(160)
+    s_fast, telem = _eval(ap, spec_fast, t, ref, orig, cp)
+    s_ref, _ = _eval(ap, spec_ref, t, ref, orig, cp)
+    assert int(telem.n_escapes) == 0 and int(telem.n_fallbacks) == 0
     assert np.array_equal(np.asarray(s_fast), np.asarray(s_ref))
 
 
