@@ -47,17 +47,30 @@ def synth_frames(fw=FW, fh=FH):
     return ref.astype(np.int32), orig.astype(np.int32)
 
 
-def run_workload(fw, fh, n_iters):
-    """All 4 pred stages over one synthetic (frame, ref) pair.
+def realistic_frames(fw=FW, fh=FH):
+    """One affine-true (ref, orig) pair: global pan+zoom+rotation texture
+    with a fast local object (vvc_affine_tpu.testing.affine_gop) — the
+    camera-footage-shaped counterpart of synth_frames' uniform-shift noise
+    (the reference's workload is real video, main.cpp:310-330)."""
+    from vvc_affine_tpu.testing import affine_gop
 
-    Returns (times_s list, compile_plus_first_run_s, cus_per_ref).
+    orig, recon = affine_gop(fw, fh, 1, seed=4)
+    return recon[0].astype(np.int32), orig[0].astype(np.int32)
+
+
+def run_workload(fw, fh, n_iters, frames=synth_frames, with_telemetry=False):
+    """All 4 pred stages over one (frame, ref) pair from ``frames``.
+
+    Returns (times_s list, compile_plus_first_run_s, cus_per_ref[, telem]);
+    telem (when requested) sums the EvalTelemetry escape counters and the
+    rung-choice histogram over all 4 stages of one pass.
     """
     import jax.numpy as jnp
 
     from vvc_affine_tpu import geometry as G
     from vvc_affine_tpu.models import affine_plane
 
-    ref_np, orig_np = synth_frames(fw, fh)
+    ref_np, orig_np = frames(fw, fh)
     ref = jnp.asarray(ref_np.ravel())
     orig = jnp.asarray(orig_np.ravel())
     lam = jnp.float32(78.949063)  # QP32, POC1
@@ -65,28 +78,35 @@ def run_workload(fw, fh, n_iters):
     # A/B knobs: bit-exact either way, so these only move the number
     # (hardware adjudication: docs/ab_r03.md)
     knobs = bench_knobs()
-    stages = {}
-    for mode in ("full", "half"):
-        for n_cp in (2, 3):
-            spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh, **knobs)
-            stages[(mode, n_cp)] = affine_plane.build_stage(spec)
+    # fused 2CP->3CP pair programs — the pipeline's shipped dispatch shape
+    # (PipelineConfig.fused): 2 executables per resolution instead of 4;
+    # telemetry=True matches the pipeline's build, so the persistent cache
+    # holds ONE executable per (mode, resolution)
+    stages = {
+        mode: affine_plane.build_pair_stage(
+            affine_plane.PlaneSpec(mode, 2, fw, fh, **knobs),
+            affine_plane.PlaneSpec(mode, 3, fw, fh, **knobs),
+            telemetry=True)
+        for mode in ("full", "half")
+    }
     zeros = {
         mode: affine_plane.zero_cpmvs(affine_plane.PlaneSpec(mode, 2, fw, fh))
         for mode in ("full", "half")
     }
 
-    def one_pass():
+    def one_pass(collect=False):
         # NOTE: block_until_ready does not actually synchronise on the
         # tunnelled TPU platform used here; a device->host fetch is the only
         # reliable barrier, so we np.asarray every output.
         outs = []
         for mode in ("full", "half"):
-            c2, p2 = stages[(mode, 2)](ref, orig, lam, zeros[mode])
-            c3, p3 = stages[(mode, 3)](ref, orig, lam, p2)
-            outs.append((c2, c3))
-        for c2, c3 in outs:
+            c2, _, c3, _, tm2, tm3 = stages[mode](ref, orig, lam, zeros[mode])
+            outs.append((c2, c3, tm2, tm3))
+        for c2, c3, _, _ in outs:
             np.asarray(c2)
             np.asarray(c3)
+        if collect:
+            return [tm for _, _, tm2, tm3 in outs for tm in (tm2, tm3)]
 
     t_compile = time.time()
     for _ in range(N_WARMUP):
@@ -103,7 +123,17 @@ def run_workload(fw, fh, n_iters):
     cus = n_ctus * (
         G.layout("full").cus_per_ctu + G.layout("half").cus_per_ctu
     ) * 2  # 2CP + 3CP variants
-    return times, compile_s, cus
+    if not with_telemetry:
+        return times, compile_s, cus
+    tms = one_pass(collect=True)
+    telem = {
+        "escapes": sum(int(np.asarray(tm.n_escapes)) for tm in tms),
+        "fallbacks": sum(int(np.asarray(tm.n_fallbacks)) for tm in tms),
+        "rung_hist": list(np.sum(
+            [np.asarray(tm.rung_hist) for tm in tms], axis=0)[:4]
+            .astype(int)),
+    }
+    return times, compile_s, cus, telem
 
 
 def bench_knobs():
@@ -146,6 +176,19 @@ def inner_main():
         "compile_plus_first_run_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }
+    # realistic-content workload: same compiled stages (same resolution),
+    # affine-true pan/zoom/rotation + fast local object instead of the
+    # uniform-shift noise pair; reports its own throughput + the
+    # escape/rung-dispatch telemetry distribution it drives
+    if os.environ.get("VVC_BENCH_REALISTIC", "1") != "0":
+        tr, _, cusr, telem = run_workload(
+            FW, FH, N_ITERS, frames=realistic_frames, with_telemetry=True)
+        dtr = min(tr)
+        out["sec_per_frame_ref_1080p_realistic"] = round(dtr, 4)
+        out["cus_per_sec_realistic"] = round(cusr / dtr, 1)
+        out["escapes_realistic"] = telem["escapes"]
+        out["fallbacks_realistic"] = telem["fallbacks"]
+        out["rung_hist_realistic"] = telem["rung_hist"]
     # 4K workload (510 CTUs, constants.h:73-79) unless disabled
     if os.environ.get("VVC_BENCH_4K", "1") != "0":
         t4, compile4_s, cus4 = run_workload(FW4K, FH4K, N_ITERS_4K)

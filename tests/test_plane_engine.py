@@ -99,6 +99,53 @@ def test_plane_engine_matches_gather_engine(mode, tmp_path):
     np.testing.assert_array_equal(np.asarray(p3r), got["p3"])
 
 
+_PAIR_CHILD_SRC = """
+import sys
+import numpy as np
+import jax.numpy as jnp
+from vvc_affine_tpu.models import affine_plane
+
+mode, fw, fh, seed, out_path = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+    sys.argv[5])
+rng = np.random.default_rng(seed)
+ref = jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
+orig = jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
+lam = jnp.float32(57.54)
+spec2 = affine_plane.PlaneSpec(mode, 2, fw, fh, use_pallas=False)
+spec3 = affine_plane.PlaneSpec(mode, 3, fw, fh, use_pallas=False)
+z = affine_plane.zero_cpmvs(spec2)
+c2, p2, c3, p3 = affine_plane.build_pair_stage(spec2, spec3)(
+    ref, orig, lam, z)
+sc2, sp2 = affine_plane.build_stage(spec2)(ref, orig, lam, z)
+sc3, sp3 = affine_plane.build_stage(spec3)(ref, orig, lam, sp2)
+np.savez(out_path, c2=np.asarray(c2), p2=np.asarray(p2),
+         c3=np.asarray(c3), p3=np.asarray(p3),
+         sc2=np.asarray(sc2), sp2=np.asarray(sp2),
+         sc3=np.asarray(sc3), sp3=np.asarray(sp3))
+"""
+
+
+def test_fused_pair_stage_matches_separate_stages(tmp_path):
+    """The fused 2CP->3CP pair program (build_pair_stage — the pipeline's
+    shipped dispatch shape) is bit-identical to the two separate stage
+    programs, including the on-device CPMV handoff (main.cpp:837)."""
+    out = str(tmp_path / "pair.npz")
+    env = dict(os.environ)
+    env["VVC_AFFINE_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c", _PAIR_CHILD_SRC, "full", "256", "128",
+         "13", out],
+        env=env, cwd=_REPO, preexec_fn=_raise_stack,
+        capture_output=True, text=True, timeout=3600)
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-2000:])
+    got = np.load(out)
+    np.testing.assert_array_equal(got["sc2"], got["c2"])
+    np.testing.assert_array_equal(got["sp2"], got["p2"])
+    np.testing.assert_array_equal(got["sc3"], got["c3"])
+    np.testing.assert_array_equal(got["sp3"], got["p3"])
+
+
 def test_qp_sweep_parity(tmp_path):
     """Engine parity across the standard QP sweep {22, 27, 32, 37}.
 

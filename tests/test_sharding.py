@@ -89,11 +89,18 @@ orig = jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
 mesh = pmesh.make_mesh(jax.devices()[:8])
 lam = jnp.float32(%r)
 spec2 = affine_plane.PlaneSpec(mode, 2, fw, fh)
-shard2 = pmesh.build_plane_stage_sharded(spec2, mesh)
-c2, p2 = shard2(ref, orig, lam, affine_plane.zero_cpmvs(spec2))
 spec3 = affine_plane.PlaneSpec(mode, 3, fw, fh)
-shard3 = pmesh.build_plane_stage_sharded(spec3, mesh)
-c3, p3 = shard3(ref, orig, lam, p2)
+# 'full' exercises the fused-pair sharded builder (the pipeline's shipped
+# dispatch shape); 'half' the separate per-stage one (fused=False path) —
+# both sharded builders stay covered across the two parametrizations
+if mode == "full":
+    c2, p2, c3, p3 = pmesh.build_plane_pair_sharded(spec2, spec3, mesh)(
+        ref, orig, lam, affine_plane.zero_cpmvs(spec2))
+else:
+    shard2 = pmesh.build_plane_stage_sharded(spec2, mesh)
+    c2, p2 = shard2(ref, orig, lam, affine_plane.zero_cpmvs(spec2))
+    shard3 = pmesh.build_plane_stage_sharded(spec3, mesh)
+    c3, p3 = shard3(ref, orig, lam, p2)
 sc2, sp2 = affine_plane.build_stage(spec2)(ref, orig, lam,
                                            affine_plane.zero_cpmvs(spec2))
 sc3, sp3 = affine_plane.build_stage(spec3)(ref, orig, lam, sp2)

@@ -99,6 +99,23 @@ def main():
             spec, t, tl, a, b, c, d, R))
         ms = timed(kfn, tiles, dy, dx, hc, vc) * 1e3
         print(f"warp R={R}:    {ms:8.2f} ms")
+
+    if spec.rebase:
+        # the SHIPPED kernel pieces: per-slab base computation (the rebase
+        # dispatch overhead) + the rebased kernel at every ladder rung
+        mvv = jax.jit(lambda c: ap._mv_planes(spec, t, dyn, c,
+                                              with_valid=True))
+        _, _, _, _, val = mvv(cp)
+        basefn = jax.jit(lambda a, b, v: ap._rebase_bases(
+            spec.r_ladder, a, b, v))
+        print(f"rebase_bases:{timed(basefn, dy, dx, val)*1e3:8.2f} ms")
+        by0, bx0, dy_k, dx_k, _ = basefn(dy, dx, val)
+        for R in spec.r_ladder:
+            kfn = jax.jit(lambda tl, a, b, c, d, by, bx, R=R:
+                          ap._warp_kernel_only(spec, t, tl, a, b, c, d, R,
+                                               base_y=by, base_x=bx))
+            ms = timed(kfn, tiles, dy_k, dx_k, hc, vc, by0, bx0) * 1e3
+            print(f"warp rb R={R}: {ms:8.2f} ms")
     pred = jax.jit(lambda tl, a, b, c, d: ap._warp_kernel_only(
         spec, t, tl, a, b, c, d, 8))(tiles, dy, dx, hc, vc)
 

@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--Engine", choices=("plane", "gather"), default="plane",
                    help="Compute engine: dense plane (fast) or gather "
                         "(reference-shaped); outputs are bit-identical")
+    p.add_argument("--PerPredTiming", action="store_true",
+                   help="Dispatch the 2CP/3CP stages as separate programs "
+                        "for a per-pred-type timing split (the reference's "
+                        "kernelExecutionTime[4]); default fuses each "
+                        "mode's chain into one program (faster start-up, "
+                        "pair-level timing)")
     return p
 
 
@@ -142,6 +148,7 @@ def main(argv=None) -> int:
         frame_w=w, frame_h=h, qp=args.QP, extra_iters=args.ExtraGradientIter,
         test_full=not args.SkipFull, test_half=not args.SkipHalf,
         device=device, mesh=mesh, engine=args.Engine,
+        fused=not args.PerPredTiming,
     )
     pipe = AffineMEPipeline(cfg)
 

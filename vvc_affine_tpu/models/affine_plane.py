@@ -116,18 +116,25 @@ class DynTables(NamedTuple):
     slab_act: jnp.ndarray  # int32 [nCtu, nBins, 16] (slab_activity)
 
 
+MAX_LADDER = 8   # rung_hist slots (>= any r_ladder length)
+
+
 class EvalTelemetry(NamedTuple):
     """Escape-budget counters (int32 scalars), summed over iterations.
 
     n_escapes counts blocks displaced beyond the WIDEST ladder kernel
     (spec.R) — the ones recomputed by the per-block gather fix-up; blocks
     between the selected rung and spec.R are handled by the vectorized
-    escaped-slab second pass and are not counted here.
+    escaped-slab second pass and are not counted here.  rung_hist[i]
+    counts evaluates dispatched at ladder position i (spec.r_ladder;
+    non-adaptive/fallback evaluates count nowhere) — the dispatch
+    distribution a workload actually exercises.
     """
 
     n_escapes: jnp.ndarray       # blocks recomputed by the exact fix-up
     max_groups: jnp.ndarray      # peak escape-containing (ctu, class) groups
     n_fallbacks: jnp.ndarray     # whole-frame warp_xla fallbacks fired
+    rung_hist: jnp.ndarray       # int32 [MAX_LADDER] rung-choice counts
 
 
 class PlaneTables(NamedTuple):
@@ -389,7 +396,7 @@ def _factor_planes(cp_tab: P.ClassPlane, n_cp: int):
 
 def _zero_telem() -> EvalTelemetry:
     z = jnp.int32(0)
-    return EvalTelemetry(z, z, z)
+    return EvalTelemetry(z, z, z, jnp.zeros(MAX_LADDER, jnp.int32))
 
 
 def _static_slab_mask(t: PlaneTables, n_ctu: int):
@@ -489,8 +496,41 @@ def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     pred = lax.cond(n_esc > 0, fix, lambda p: p, pred)
     telem = EvalTelemetry(n_esc.astype(jnp.int32),
                           n_groups.astype(jnp.int32),
-                          over.astype(jnp.int32))
+                          over.astype(jnp.int32),
+                          jnp.zeros(MAX_LADDER, jnp.int32))
     return pred, telem
+
+
+def _rebase_bases(ladder: Tuple[int, ...], dy, dx, val):
+    """Per-slab base displacements for the rebased dispatch.
+
+    Base = midrange of the slab's VALID block displacements, clamped into
+    the window legal for every ladder rung (warp.rebase_base_limits).
+    Returns (by0, bx0 [nCtu, nBins, 16], dy_k, dx_k base-subtracted planes,
+    admax residual |d'| over valid blocks) — the inputs every dispatch
+    decision and the rebased kernel key on.
+    """
+    BIG = jnp.int32(1 << 20)
+
+    def slab_red(x, fill, red):
+        xm = jnp.where(val, x, fill)
+        return red(xm.reshape(xm.shape[:2] + (16, 2, NB)), axis=(-2, -1))
+
+    dy_mn = slab_red(dy, BIG, jnp.min)
+    dy_mx = slab_red(dy, -BIG, jnp.max)
+    dx_mn = slab_red(dx, BIG, jnp.min)
+    dx_mx = slab_red(dx, -BIG, jnp.max)
+    anyv = dy_mn <= dy_mx          # any valid block in the slab
+    by_lo, by_hi, bx_lo, bx_hi = warp_ops.rebase_base_limits(ladder)
+    by0 = jnp.where(anyv, (dy_mn + dy_mx) >> 1, 0)
+    bx0 = jnp.where(anyv, (dx_mn + dx_mx) >> 1, 0)
+    by0 = clamp(by0, jnp.asarray(by_lo), jnp.asarray(by_hi))
+    bx0 = clamp(bx0, jnp.int32(bx_lo), jnp.int32(bx_hi))
+    dy_k = dy - jnp.repeat(by0, 2, axis=-1)[..., None]
+    dx_k = dx - jnp.repeat(bx0, 2, axis=-1)[..., None]
+    # dispatch/escape distance: residual |d'| over VALID blocks
+    admax = jnp.where(val, jnp.maximum(jnp.abs(dy_k), jnp.abs(dx_k)), 0)
+    return by0, bx0, dy_k, dx_k, admax
 
 
 def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
@@ -535,28 +575,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
         act_static = dyn.slab_act
         by0 = bx0 = None
         if rb:
-            BIG = jnp.int32(1 << 20)
-
-            def slab_red(x, fill, red):
-                xm = jnp.where(val, x, fill)
-                return red(xm.reshape(xm.shape[:2] + (16, 2, NB)),
-                           axis=(-2, -1))
-
-            dy_mn = slab_red(dy, BIG, jnp.min)
-            dy_mx = slab_red(dy, -BIG, jnp.max)
-            dx_mn = slab_red(dx, BIG, jnp.min)
-            dx_mx = slab_red(dx, -BIG, jnp.max)
-            anyv = dy_mn <= dy_mx          # any valid block in the slab
-            by_lo, by_hi, bx_lo, bx_hi = warp_ops.rebase_base_limits(ladder)
-            by0 = jnp.where(anyv, (dy_mn + dy_mx) >> 1, 0)
-            bx0 = jnp.where(anyv, (dx_mn + dx_mx) >> 1, 0)
-            by0 = clamp(by0, jnp.asarray(by_lo), jnp.asarray(by_hi))
-            bx0 = clamp(bx0, jnp.int32(bx_lo), jnp.int32(bx_hi))
-            dy_k = dy - jnp.repeat(by0, 2, axis=-1)[..., None]
-            dx_k = dx - jnp.repeat(bx0, 2, axis=-1)[..., None]
-            # dispatch/escape distance: residual |d'| over VALID blocks
-            admax = jnp.where(
-                val, jnp.maximum(jnp.abs(dy_k), jnp.abs(dx_k)), 0)
+            by0, bx0, dy_k, dx_k, admax = _rebase_bases(ladder, dy, dx, val)
         else:
             dy_k, dx_k = dy, dx
             admax = None
@@ -570,6 +589,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
             pred, telem = _escape_fixup(
                 spec, t, dyn, ref_flat, pred, dy, dx, hc, vc,
                 jnp.int32(ladder[0]), admax=admax)
+            telem = telem._replace(rung_hist=telem.rung_hist.at[0].add(1))
         else:
             r_max = ladder[-1]
             # ONE pass over the displacement planes feeds every dispatch
@@ -616,6 +636,8 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
             pred, telem = _escape_fixup(
                 spec, t, dyn, ref_flat, pred, dy, dx, hc, vc,
                 jnp.int32(r_max), admax=admax)
+            telem = telem._replace(
+                rung_hist=telem.rung_hist.at[branch].add(1))
     else:
         pred = warp_ops.warp_xla(
             ref_flat, spec.frame_w, spec.frame_h, dyn.ctu_y, dyn.ctu_x,
@@ -838,7 +860,8 @@ def _stage_core(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     def add_telem(a: EvalTelemetry, b: EvalTelemetry) -> EvalTelemetry:
         return EvalTelemetry(a.n_escapes + b.n_escapes,
                              jnp.maximum(a.max_groups, b.max_groups),
-                             a.n_fallbacks + b.n_fallbacks)
+                             a.n_fallbacks + b.n_fallbacks,
+                             a.rung_hist + b.rung_hist)
 
     def body(carry, _):
         curr, best_cost, best_cp, telem = carry
@@ -893,6 +916,41 @@ def build_stage(spec: PlaneSpec, telemetry: bool = False):
             spec, tables, dyn_tables(tables), ref_flat, tiles, orig_pl,
             ref_pl, lam, prev_cpmvs)
         return (cost, cp, telem) if telemetry else (cost, cp)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def build_pair_stage(spec2: PlaneSpec, spec3: PlaneSpec,
+                     telemetry: bool = False):
+    """ONE jitted program for a mode's sequential 2CP -> 3CP chain.
+
+    The reference dispatches these as two kernel launches with the 2CP
+    result buffer fed to the 3CP kernel as prevCpmvs (main.cpp:759-878,
+    arg 10 at main.cpp:837); the chain is sequential inside one (frame,
+    ref) anyway, so fusing it into one executable halves the per-resolution
+    program count (2 instead of 4), shares one prep_inputs (tiles / plane
+    forms) between the two stages, and keeps the 2CP->3CP CPMV handoff
+    on-device.  Outputs are bit-identical to the two separate stages.
+
+    fn(ref_flat, orig_flat, lam, prev2) ->
+      (cost2, cpmvs2, cost3, cpmvs3[, telem2, telem3]).
+    """
+    assert spec2.mode == spec3.mode and spec2.n_cp == 2 and spec3.n_cp == 3
+    tables = build_tables(spec2)   # mode/frame geometry only: same for both
+
+    @jax.jit
+    def run(ref_flat, orig_flat, lam, prev2):
+        tiles, orig_pl, ref_pl = prep_inputs(spec2, tables, ref_flat,
+                                             orig_flat)
+        dyn = dyn_tables(tables)
+        c2, p2, tm2 = _stage_core(spec2, tables, dyn, ref_flat, tiles,
+                                  orig_pl, ref_pl, lam, prev2)
+        c3, p3, tm3 = _stage_core(spec3, tables, dyn, ref_flat, tiles,
+                                  orig_pl, ref_pl, lam, p2)
+        if telemetry:
+            return c2, p2, c3, p3, tm2, tm3
+        return c2, p2, c3, p3
 
     return run
 

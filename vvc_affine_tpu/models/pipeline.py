@@ -43,6 +43,14 @@ class PipelineConfig:
     # path); 'gather' = the original merged-group engine (models.affine_me).
     # Outputs are bit-identical.
     engine: str = "plane"
+    # fuse each mode's 2CP->3CP chain into ONE jitted program (plane engine
+    # only): halves the per-resolution executable count — and with it this
+    # platform's per-executable deferred first-run build cost — and keeps
+    # the CPMV handoff on-device.  Bit-identical outputs.  The trade-off is
+    # timing granularity: exec time is attributed per (mode) pair instead
+    # of per pred type; set False for the reference's per-pred timing split
+    # (kernelExecutionTime[4], main_aux_functions.h:1416-1446).
+    fused: bool = True
 
 
 @dataclass
@@ -60,8 +68,23 @@ class AffineMEPipeline:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.stages = {}
+        self.pairs = {}
         for mode, on in (("full", cfg.test_full), ("half", cfg.test_half)):
             if not on:
+                continue
+            if cfg.engine == "plane" and cfg.fused:
+                specs = tuple(
+                    affine_plane.PlaneSpec(mode, n_cp, cfg.frame_w,
+                                           cfg.frame_h, cfg.extra_iters)
+                    for n_cp in (2, 3))
+                if cfg.mesh is not None:
+                    from vvc_affine_tpu.parallel import mesh as pmesh
+
+                    self.pairs[mode] = pmesh.build_plane_pair_sharded(
+                        *specs, cfg.mesh, telemetry=True)
+                else:
+                    self.pairs[mode] = affine_plane.build_pair_stage(
+                        *specs, telemetry=True)
                 continue
             for n_cp in (2, 3):
                 if cfg.engine == "plane":
@@ -136,6 +159,39 @@ class AffineMEPipeline:
                                int(np.asarray(telem.n_fallbacks)))
         return cost, cp
 
+    def _run_pair(self, mode, base, poc, ref_idx, ref_dev, orig_dev, lam,
+                  timing):
+        """One fused 2CP->3CP dispatch (cfg.fused).
+
+        With timing, exec time is attributed to the PAIR (the two preds run
+        inside one executable, so a per-pred split does not exist); stamps
+        bracket the pair under a combined label."""
+        prev = self._zeros[mode]
+        if timing is None:
+            out = self.pairs[mode](ref_dev, orig_dev, lam, prev)
+            return out[0], out[1], out[2], out[3]
+        import time as _time
+
+        lbl = (f"EXEC {self.PRED_LABEL[base]}+{self.PRED_LABEL[base + 1]} "
+               f"POC {poc} ref {ref_idx}")
+        timing.stamp(f"START {lbl}")
+        t0 = _time.time()
+        out = self.pairs[mode](ref_dev, orig_dev, lam, prev)
+        np.asarray(out[0].sum())   # device->host fetch: the only barrier
+        np.asarray(out[2].sum())
+        t1 = _time.time()
+        timing.stamp(f"FINISHED {lbl}")
+        if hasattr(timing, "add_pair"):
+            timing.add_pair(base, t1 - t0)
+        else:
+            timing.add(base, t1 - t0)
+        if len(out) >= 6 and hasattr(timing, "add_escapes"):
+            for telem in out[4:6]:
+                timing.add_escapes(int(np.asarray(telem.n_escapes)),
+                                   int(np.asarray(telem.max_groups)),
+                                   int(np.asarray(telem.n_fallbacks)))
+        return out[0], out[1], out[2], out[3]
+
     def _put_repl(self, x) -> jnp.ndarray:
         """Replicate a (host-identical) value over the mesh / device.
 
@@ -208,14 +264,19 @@ class AffineMEPipeline:
                 ref_dev = frames_by_poc[ref_labels[ref_idx]]
                 per_ref: List[StageResult] = []
                 for mode, base in (("full", PRED_FULL_2CP), ("half", PRED_HALF_2CP)):
-                    if (mode, 2) not in self.stages:
+                    if mode in self.pairs:
+                        cost2, cp2, cost3, cp3 = self._run_pair(
+                            mode, base, poc, ref_idx, ref_dev, orig_dev,
+                            lam, timing)
+                    elif (mode, 2) in self.stages:
+                        cost2, cp2 = self._run_stage(
+                            (mode, 2), base, poc, ref_idx,
+                            ref_dev, orig_dev, lam, self._zeros[mode], timing)
+                        cost3, cp3 = self._run_stage(
+                            (mode, 3), base + 1, poc, ref_idx,
+                            ref_dev, orig_dev, lam, cp2, timing)
+                    else:
                         continue
-                    cost2, cp2 = self._run_stage(
-                        (mode, 2), base, poc, ref_idx,
-                        ref_dev, orig_dev, lam, self._zeros[mode], timing)
-                    cost3, cp3 = self._run_stage(
-                        (mode, 3), base + 1, poc, ref_idx,
-                        ref_dev, orig_dev, lam, cp2, timing)
                     per_ref.append(StageResult(poc, ref_idx, base, cost2, cp2))
                     per_ref.append(StageResult(poc, ref_idx, base + 1, cost3, cp3))
                 for r in per_ref:

@@ -109,6 +109,74 @@ def _padded_dyn_tables(spec: affine_plane.PlaneSpec, t, n_pad: int):
         slab_act=jnp.asarray(affine_plane.slab_activity(spec.mode, within)))
 
 
+def build_plane_pair_sharded(spec2: affine_plane.PlaneSpec,
+                             spec3: affine_plane.PlaneSpec, mesh: Mesh,
+                             telemetry: bool = False):
+    """CTU-sharded fused 2CP->3CP chain (affine_plane.build_pair_stage):
+    one executable per (mode, resolution), prep replicated, both stage
+    cores under one shard_map, the CPMV handoff staying shard-local.
+
+    fn(ref_flat, orig_flat, lam, prev2[nCtu,...]) ->
+      (cost2, cpmvs2, cost3, cpmvs3[, telem2, telem3]) unpadded."""
+    assert spec2.mode == spec3.mode and spec2.n_cp == 2 and spec3.n_cp == 3
+    n_dev = mesh.devices.size
+    t = affine_plane.build_tables(spec2)
+    n_ctus = t.n_ctus
+    n_pad = _pad_to(n_ctus, n_dev)
+    pad = n_pad - n_ctus
+    dyn_padded = _padded_dyn_tables(spec2, t, n_pad)
+
+    ctu = P("ctu")
+    repl = P()
+
+    def _psum_telem(telem):
+        return affine_plane.EvalTelemetry(
+            jax.lax.psum(telem.n_escapes, "ctu"),
+            jax.lax.pmax(telem.max_groups, "ctu"),
+            jax.lax.psum(telem.n_fallbacks, "ctu"),
+            jax.lax.psum(telem.rung_hist, "ctu"))
+
+    def local_fn(dyn_l, tiles_l, orig_pl_l, ref_pl_l, prev_l, ref_flat, lam):
+        c2, p2, tm2 = affine_plane._stage_core(
+            spec2, t, dyn_l, ref_flat, tiles_l, orig_pl_l, ref_pl_l, lam,
+            prev_l)
+        c3, p3, tm3 = affine_plane._stage_core(
+            spec3, t, dyn_l, ref_flat, tiles_l, orig_pl_l, ref_pl_l, lam, p2)
+        return c2, p2, c3, p3, _psum_telem(tm2), _psum_telem(tm3)
+
+    # check_vma off: same replicated-constant-to-varying scan carries as
+    # build_plane_stage_sharded
+    sharded = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(ctu, ctu, ctu, ctu, ctu, repl, repl),
+        out_specs=(ctu, ctu, ctu, ctu, repl, repl),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run_padded(ref_flat, orig_flat, lam, prev_padded):
+        tiles, orig_pl, ref_pl = affine_plane.prep_inputs(
+            spec2, t, ref_flat, orig_flat)
+        if pad:
+            tiles = jnp.pad(tiles, ((0, pad), (0, 0), (0, 0)))
+            orig_pl = jnp.pad(orig_pl, ((0, pad), (0, 0), (0, 0)))
+            ref_pl = jnp.pad(ref_pl, ((0, pad), (0, 0), (0, 0)))
+        return sharded(dyn_padded, tiles, orig_pl, ref_pl, prev_padded,
+                       ref_flat, lam)
+
+    def run(ref_flat, orig_flat, lam, prev2):
+        if prev2.shape[0] < n_pad:
+            p_ = n_pad - prev2.shape[0]
+            prev2 = jnp.pad(prev2, ((0, p_), (0, 0), (0, 0), (0, 0)))
+        c2, p2, c3, p3, tm2, tm3 = run_padded(ref_flat, orig_flat, lam, prev2)
+        outs = (c2[:n_ctus], p2[:n_ctus], c3[:n_ctus], p3[:n_ctus])
+        if telemetry:
+            return outs + (tm2, tm3)
+        return outs
+
+    return run
+
+
 def build_plane_stage_sharded(spec: affine_plane.PlaneSpec, mesh: Mesh,
                               telemetry: bool = False):
     """Compile a dense-engine (plane/Pallas) stage sharded over ``mesh``.
@@ -137,7 +205,8 @@ def build_plane_stage_sharded(spec: affine_plane.PlaneSpec, mesh: Mesh,
         telem = affine_plane.EvalTelemetry(
             jax.lax.psum(telem.n_escapes, "ctu"),
             jax.lax.pmax(telem.max_groups, "ctu"),
-            jax.lax.psum(telem.n_fallbacks, "ctu"))
+            jax.lax.psum(telem.n_fallbacks, "ctu"),
+            jax.lax.psum(telem.rung_hist, "ctu"))
         return cost, cp, telem
 
     # check_vma off: the scan carry inits (best_cost full, telem zeros) are

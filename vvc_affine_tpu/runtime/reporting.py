@@ -199,6 +199,7 @@ class Timing:
 
     def __init__(self) -> None:
         self.exec_ns = [0.0, 0.0, 0.0, 0.0]
+        self.pair_ns = {0: 0.0, 2: 0.0}   # fused 2CP+3CP dispatches
         self.escapes = 0
         self.max_groups = 0
         self.fallbacks = 0
@@ -211,6 +212,12 @@ class Timing:
     def add(self, pred: int, seconds: float) -> None:
         self.exec_ns[pred] += seconds * 1e9
 
+    def add_pair(self, base_pred: int, seconds: float) -> None:
+        """Fused-pair exec time (pipeline fused mode): one executable runs
+        both nCP stages, so the split per pred type does not exist; the
+        pair total is reported on its own line."""
+        self.pair_ns[base_pred] += seconds * 1e9
+
     def add_escapes(self, n_escapes: int, max_groups: int,
                     n_fallbacks: int) -> None:
         """Escape-budget telemetry from the dense engine (per stage run)."""
@@ -221,9 +228,15 @@ class Timing:
     def report(self, n_frames: int) -> None:
         print("=-" * 23)
         print("TIMING RESULTS (nanoseconds)")
-        for pred, name in enumerate(("FULL_2CP", "FULL_3CP", "HALF_2CP", "HALF_3CP")):
+        names = ("FULL_2CP", "FULL_3CP", "HALF_2CP", "HALF_3CP")
+        for pred, name in enumerate(names):
+            if self.pair_ns.get(pred & ~1):
+                if pred % 2 == 0:
+                    print(f"{name}+{names[pred + 1]}_EXEC,"
+                          f"{self.pair_ns[pred]:f}")
+                continue
             print(f"{name}_EXEC,{self.exec_ns[pred]:f}")
-        total = sum(self.exec_ns)
+        total = sum(self.exec_ns) + sum(self.pair_ns.values())
         print(f"TOTAL_EXEC_TIME({n_frames}x),{total:f}")
         print(f"OVERALL({n_frames}x),{(time.time() - self.t0) * 1e9:f}")
         print(f"ESCAPE_BLOCKS,{self.escapes}")
