@@ -185,6 +185,10 @@ def main(argv=None) -> int:
     if args.MemoryReport:
         print(reporting.memory_report(w, h))
     timing.report(n)
+    if args.Coordinator:
+        from vvc_affine_tpu.runtime import distributed as dist
+
+        dist.finalize()
     return 0
 
 

@@ -121,8 +121,45 @@ class AffineMEPipeline:
                 affine_me.StageSpec(mode, 2, cfg.frame_w, cfg.frame_h))))
             for mode in ("full", "half")
         }
+        self._exec = {}   # multi-process AOT executables (see _callable)
 
     PRED_LABEL = ("FULL_2CP", "FULL_3CP", "HALF_2CP", "HALF_3CP")
+
+    def _align(self):
+        """Multi-process: barrier before dispatch so a program's FIRST
+        execution (which creates Gloo communicator contexts for its
+        telemetry psums, ~30 s rendezvous window) never happens under
+        cross-process compile skew.  Single-process: no-op."""
+        if self.cfg.mesh is None:
+            return
+        from vvc_affine_tpu.runtime import distributed as dist
+
+        dist.align_processes("stage")
+
+    def _callable(self, kind, key, fn, args):
+        """Resolve the stage callable, multi-process-safely.
+
+        jit fuses compile into the first call, so under jax.distributed a
+        program's first DISPATCH — the moment its Gloo communicator
+        contexts rendezvous (hard ~30 s window) — would happen at
+        whatever cross-process skew the minutes-long independent compiles
+        left behind.  Multi-process: AOT-compile (fn.lower().compile()),
+        then barrier, then hand back the compiled executable so dispatch
+        happens in lockstep.  Single-process: the jitted fn unchanged.
+        """
+        if self.cfg.mesh is None or jax.process_count() <= 1:
+            return fn
+        k = (kind, key)
+        if k not in self._exec:
+            # sharded builders expose precompile(); it AOT-compiles and
+            # pins the executable inside the wrapper, so the subsequent
+            # call dispatches without compiling
+            fn.precompile(*args)
+            from vvc_affine_tpu.runtime import distributed as dist
+
+            dist.align_processes("compiled")
+            self._exec[k] = True
+        return fn
 
     def _run_stage(self, key, pred, poc, ref_idx, ref_dev, orig_dev, lam,
                    prev, timing):
@@ -136,15 +173,18 @@ class AffineMEPipeline:
         the scalar reduction only waits for execution.  Without timing the
         dispatch stays fully async.
         """
+        fn = self._callable("stage", key, self.stages[key],
+                            (ref_dev, orig_dev, lam, prev))
+        self._align()
         if timing is None:
-            out = self.stages[key](ref_dev, orig_dev, lam, prev)
+            out = fn(ref_dev, orig_dev, lam, prev)
             return out[0], out[1]
         import time as _time
 
         label = f"EXEC {self.PRED_LABEL[pred]} POC {poc} ref {ref_idx}"
         timing.stamp(f"START {label}")
         t0 = _time.time()
-        out = self.stages[key](ref_dev, orig_dev, lam, prev)
+        out = fn(ref_dev, orig_dev, lam, prev)
         cost, cp = out[0], out[1]
         # block_until_ready is a no-op on the tunnelled TPU platform; a
         # device->host fetch is the only reliable execution barrier
@@ -167,8 +207,11 @@ class AffineMEPipeline:
         inside one executable, so a per-pred split does not exist); stamps
         bracket the pair under a combined label."""
         prev = self._zeros[mode]
+        fn = self._callable("pair", mode, self.pairs[mode],
+                            (ref_dev, orig_dev, lam, prev))
+        self._align()
         if timing is None:
-            out = self.pairs[mode](ref_dev, orig_dev, lam, prev)
+            out = fn(ref_dev, orig_dev, lam, prev)
             return out[0], out[1], out[2], out[3]
         import time as _time
 
@@ -176,7 +219,7 @@ class AffineMEPipeline:
                f"POC {poc} ref {ref_idx}")
         timing.stamp(f"START {lbl}")
         t0 = _time.time()
-        out = self.pairs[mode](ref_dev, orig_dev, lam, prev)
+        out = fn(ref_dev, orig_dev, lam, prev)
         np.asarray(out[0].sum())   # device->host fetch: the only barrier
         np.asarray(out[2].sum())
         t1 = _time.time()

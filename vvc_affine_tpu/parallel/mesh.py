@@ -74,13 +74,29 @@ def build_stage_sharded(spec: affine_me.StageSpec, mesh: Mesh):
             jax.lax.with_sharding_constraint(cp, ctu_sharded),
         )
 
+    def _pad_prev(prev):
+        if prev.shape[0] < n_pad:
+            pad = n_pad - prev.shape[0]
+            prev = jnp.pad(prev, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        return prev
+
+    _exe = {}
+
+    def precompile(ref_flat, orig_flat, lam, prev_cpmvs):
+        """AOT-compile and pin the executable (multi-process lockstep:
+        see pipeline._callable — first DISPATCH must not happen under
+        cross-process compile skew, and jit fuses compile into it)."""
+        _exe["x"] = run_padded.lower(
+            ref_flat, orig_flat, lam, _pad_prev(prev_cpmvs)).compile()
+
+    def _inner(*a):
+        return _exe["x"](*a) if "x" in _exe else run_padded(*a)
+
     def run(ref_flat, orig_flat, lam, prev_cpmvs):
-        if prev_cpmvs.shape[0] < n_pad:
-            pad = n_pad - prev_cpmvs.shape[0]
-            prev_cpmvs = jnp.pad(prev_cpmvs, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        cost, cp = run_padded(ref_flat, orig_flat, lam, prev_cpmvs)
+        cost, cp = _inner(ref_flat, orig_flat, lam, _pad_prev(prev_cpmvs))
         return cost[:n_ctus], cp[:n_ctus]
 
+    run.precompile = precompile
     return run
 
 
@@ -164,16 +180,32 @@ def build_plane_pair_sharded(spec2: affine_plane.PlaneSpec,
         return sharded(dyn_padded, tiles, orig_pl, ref_pl, prev_padded,
                        ref_flat, lam)
 
+    def _pad_prev(prev):
+        if prev.shape[0] < n_pad:
+            p_ = n_pad - prev.shape[0]
+            prev = jnp.pad(prev, ((0, p_), (0, 0), (0, 0), (0, 0)))
+        return prev
+
+    _exe = {}
+
+    def precompile(ref_flat, orig_flat, lam, prev2):
+        """AOT-compile and pin the executable (multi-process lockstep:
+        see pipeline._callable)."""
+        _exe["x"] = run_padded.lower(
+            ref_flat, orig_flat, lam, _pad_prev(prev2)).compile()
+
+    def _inner(*a):
+        return _exe["x"](*a) if "x" in _exe else run_padded(*a)
+
     def run(ref_flat, orig_flat, lam, prev2):
-        if prev2.shape[0] < n_pad:
-            p_ = n_pad - prev2.shape[0]
-            prev2 = jnp.pad(prev2, ((0, p_), (0, 0), (0, 0), (0, 0)))
-        c2, p2, c3, p3, tm2, tm3 = run_padded(ref_flat, orig_flat, lam, prev2)
+        c2, p2, c3, p3, tm2, tm3 = _inner(ref_flat, orig_flat, lam,
+                                          _pad_prev(prev2))
         outs = (c2[:n_ctus], p2[:n_ctus], c3[:n_ctus], p3[:n_ctus])
         if telemetry:
             return outs + (tm2, tm3)
         return outs
 
+    run.precompile = precompile
     return run
 
 
@@ -230,14 +262,29 @@ def build_plane_stage_sharded(spec: affine_plane.PlaneSpec, mesh: Mesh,
         return sharded(dyn_padded, tiles, orig_pl, ref_pl, prev_padded,
                        ref_flat, lam)
 
+    def _pad_prev(prev):
+        if prev.shape[0] < n_pad:
+            p_ = n_pad - prev.shape[0]
+            prev = jnp.pad(prev, ((0, p_), (0, 0), (0, 0), (0, 0)))
+        return prev
+
+    _exe = {}
+
+    def precompile(ref_flat, orig_flat, lam, prev_cpmvs):
+        """AOT-compile and pin the executable (multi-process lockstep:
+        see pipeline._callable)."""
+        _exe["x"] = run_padded.lower(
+            ref_flat, orig_flat, lam, _pad_prev(prev_cpmvs)).compile()
+
+    def _inner(*a):
+        return _exe["x"](*a) if "x" in _exe else run_padded(*a)
+
     def run(ref_flat, orig_flat, lam, prev_cpmvs):
-        if prev_cpmvs.shape[0] < n_pad:
-            p_ = n_pad - prev_cpmvs.shape[0]
-            prev_cpmvs = jnp.pad(prev_cpmvs,
-                                 ((0, p_), (0, 0), (0, 0), (0, 0)))
-        cost, cp, telem = run_padded(ref_flat, orig_flat, lam, prev_cpmvs)
+        cost, cp, telem = _inner(ref_flat, orig_flat, lam,
+                                 _pad_prev(prev_cpmvs))
         if telemetry:
             return cost[:n_ctus], cp[:n_ctus], telem
         return cost[:n_ctus], cp[:n_ctus]
 
+    run.precompile = precompile
     return run

@@ -30,7 +30,14 @@ import numpy as np
 
 def initialize(coordinator: str, num_processes: int, process_id: int,
                local_device_ids: Optional[Sequence[int]] = None) -> None:
-    """Join the jax.distributed cluster (idempotent per process)."""
+    """Join the jax.distributed cluster (idempotent per process).
+
+    The coordination service's shutdown barrier defaults to 300 s; process
+    skew at exit can exceed that when processes compile their programs
+    independently (each stage compiles minutes of XLA), so the barrier is
+    widened to 30 min.  finalize() additionally syncs all processes BEFORE
+    the barrier, so the widened timeout is a backstop, not the mechanism.
+    """
     import jax
 
     jax.distributed.initialize(
@@ -38,7 +45,66 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
         num_processes=num_processes,
         process_id=process_id,
         local_device_ids=local_device_ids,
+        initialization_timeout=600,
+        shutdown_timeout_seconds=1800,
     )
+
+
+_ALIGN_SEQ = [0]
+
+
+def _align(tag: str, timeout_s: int = 1800) -> None:
+    """Coordination-service barrier (pure gRPC, no device collective).
+
+    XLA:CPU's Gloo backend creates its communicator contexts lazily at the
+    first dispatch of each collective clique with a hard-coded ~30 s
+    rendezvous window; cross-process COMPILE skew (each process compiles
+    its stage executables independently, minutes apiece) easily exceeds
+    that and kills the cluster with "Gloo context initialization failed:
+    DEADLINE_EXCEEDED".  Aligning processes through the coordination
+    service (whose barriers take an explicit long timeout) immediately
+    before every cross-process collective keeps the Gloo rendezvous window
+    at ~0 skew.  Cost when already aligned: one gRPC round-trip (~ms).
+    Call sequence is identical on every process by construction (the
+    collectives themselves are), so the monotonically increasing barrier
+    ids match up.
+    """
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:
+        return
+    _ALIGN_SEQ[0] += 1
+    client.wait_at_barrier(f"vvc-align-{tag}-{_ALIGN_SEQ[0]}",
+                           timeout_in_ms=timeout_s * 1000)
+
+
+def align_processes(tag: str = "dispatch") -> None:
+    """Public alignment point: no-op single-process, barrier otherwise.
+
+    Call before dispatching any program that contains cross-process
+    collectives (the sharded stages' telemetry psums, result gathers) so
+    its first execution — which creates the Gloo communicator contexts —
+    never happens under cross-process compile skew.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        _align(tag)
+
+
+def finalize() -> None:
+    """Synchronized cluster teardown (all processes must call).
+
+    Brings every process to the same point before the coordination
+    service's shutdown barrier, so the barrier never waits on
+    cross-process compile/log skew.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        _align("exit")
+    jax.distributed.shutdown()
 
 
 def is_primary() -> bool:
@@ -76,6 +142,7 @@ def broadcast_scalar(value: int) -> int:
         return int(value)
     from jax.experimental import multihost_utils
 
+    _align("bcast")
     return int(multihost_utils.broadcast_one_to_all(np.int64(value)))
 
 
@@ -94,4 +161,5 @@ def gather_to_host(x) -> np.ndarray:
         return np.asarray(x)
     from jax.experimental import multihost_utils
 
+    _align("gather")
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
