@@ -129,9 +129,8 @@ def run_workload(fw, fh, n_iters, frames=synth_frames, with_telemetry=False):
     telem = {
         "escapes": sum(int(np.asarray(tm.n_escapes)) for tm in tms),
         "fallbacks": sum(int(np.asarray(tm.n_fallbacks)) for tm in tms),
-        "rung_hist": list(np.sum(
-            [np.asarray(tm.rung_hist) for tm in tms], axis=0)[:4]
-            .astype(int)),
+        "rung_hist": [int(v) for v in np.sum(
+            [np.asarray(tm.rung_hist) for tm in tms], axis=0)[:4]],
     }
     return times, compile_s, cus, telem
 
@@ -139,7 +138,8 @@ def run_workload(fw, fh, n_iters, frames=synth_frames, with_telemetry=False):
 def bench_knobs():
     """Knob overrides from env; unset -> the shipped PlaneSpec default."""
     names = dict(mxu_reduce="VVC_BENCH_MXU", i16_taps="VVC_BENCH_I16",
-                 f32_warp="VVC_BENCH_F32", rebase="VVC_BENCH_REBASE")
+                 f32_warp="VVC_BENCH_F32", rebase="VVC_BENCH_REBASE",
+                 plane_moments="VVC_BENCH_MOM")
     return {k: os.environ[v] == "1"
             for k, v in names.items() if v in os.environ}
 

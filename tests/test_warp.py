@@ -291,26 +291,39 @@ def test_warp_pallas_i16_taps():
     assert np.array_equal(want, got)
 
 
-@pytest.mark.parametrize("R,f32", [(2, False), (8, False), (2, True)])
-def test_warp_pallas_rebased(R, f32):
-    """The rebased kernel (per-slab base displacement moves the slab slice;
-    dy/dx planes arrive base-subtracted) is bit-identical to warp_xla with
-    the FULL displacements — for bases anywhere inside rebase_base_limits,
-    i.e. coherent motion far beyond R rides the R-kernel.  Also combined
-    with the f32 MAC fields (the shipping-candidate configuration)."""
+@pytest.mark.parametrize("R,f32,gran", [
+    (2, False, "slab"), (8, False, "slab"), (2, True, "slab"),
+    (2, False, "plane"), (8, False, "plane")])
+def test_warp_pallas_rebased(R, f32, gran):
+    """The rebased kernel (base displacement slides the window — per-slab
+    dynamic windows or one per-plane tile roll; dy/dx planes arrive
+    base-subtracted) is bit-identical to warp_xla with the FULL
+    displacements — for bases anywhere inside rebase_base_limits, i.e.
+    coherent motion far beyond R rides the R-kernel.  Also combined with
+    the f32 MAC fields."""
     grid, ref, ctu_y, ctu_x, _, _, hc, vc, _, _ = _setup(55 + R, 2, R)
     n_ctu = grid.num_ctus
     rng = np.random.default_rng(1000 + R)
-    by_lo, by_hi, bx_lo, bx_hi = warp_ops.rebase_base_limits((R,))
-    by = rng.integers(by_lo, by_hi + 1,
-                      size=(n_ctu, 2, 16)).astype(np.int32)
-    bx = rng.integers(int(bx_lo), int(bx_hi) + 1,
-                      size=(n_ctu, 2, 16)).astype(np.int32)
-    # block displacement = per-slab base + in-range residual
+    by_lo, by_hi, bx_lo, bx_hi = warp_ops.rebase_base_limits((R,), gran)
+    if gran == "slab":
+        by = rng.integers(by_lo, by_hi + 1,
+                          size=(n_ctu, 2, 16)).astype(np.int32)
+        bx = rng.integers(int(bx_lo), int(bx_hi) + 1,
+                          size=(n_ctu, 2, 16)).astype(np.int32)
+        basey = np.repeat(by, 2, axis=-1).reshape(n_ctu, 2, 32, 1)
+        basex = np.repeat(bx, 2, axis=-1).reshape(n_ctu, 2, 32, 1)
+    else:
+        by = rng.integers(int(by_lo), int(by_hi) + 1,
+                          size=(n_ctu, 2)).astype(np.int32)
+        bx = rng.integers(int(bx_lo), int(bx_hi) + 1,
+                          size=(n_ctu, 2)).astype(np.int32)
+        basey = by.reshape(n_ctu, 2, 1, 1)
+        basex = bx.reshape(n_ctu, 2, 1, 1)
+    # block displacement = base + in-range residual
     resy = rng.integers(-R, R + 1, size=(n_ctu, 2, 32, 32)).astype(np.int32)
     resx = rng.integers(-R, R + 1, size=(n_ctu, 2, 32, 32)).astype(np.int32)
-    dy = np.repeat(by, 2, axis=-1).reshape(n_ctu, 2, 32, 1) + resy
-    dx = np.repeat(bx, 2, axis=-1).reshape(n_ctu, 2, 32, 1) + resx
+    dy = basey + resy
+    dx = basex + resx
     want = np.asarray(warp_ops.warp_xla(
         ref, FW, FH, ctu_y, ctu_x, jnp.asarray(dy), jnp.asarray(dx), hc, vc))
     got = np.asarray(warp_ops.warp_pallas(

@@ -63,7 +63,8 @@ def main():
     # knob flags: --mxu / --no-mxu etc.; absent -> the shipped default
     knobs = {}
     for flag, name in (("mxu", "mxu_reduce"), ("i16taps", "i16_taps"),
-                       ("f32", "f32_warp"), ("rebase", "rebase")):
+                       ("f32", "f32_warp"), ("rebase", "rebase"),
+                       ("mom", "plane_moments")):
         if f"--{flag}" in sys.argv:
             knobs[name] = True
         elif f"--no-{flag}" in sys.argv:

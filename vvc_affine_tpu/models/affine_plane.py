@@ -54,7 +54,10 @@ class PlaneSpec:
     frame_h: int
     extra_iters: int = 0
     R: int = 8         # fast-path displacement bound (ops/warp)
-    escape_budget: int = 4096           # per-block exact fix-up slots
+    # per-block exact fix-up slots; escapes beyond this fall back to the
+    # whole-frame exact gather (seconds — sized so realistic content
+    # never hits it, docs/ab_r04.md)
+    escape_budget: int = 4096
     use_pallas: Optional[bool] = None   # None -> auto (TPU only)
     interpret: bool = False             # pallas interpret mode (tests)
     # per-evaluate adaptive displacement bound: dispatch to a cheaper
@@ -73,22 +76,44 @@ class PlaneSpec:
     # kernel widens at load).  Exactness-neutral; default ON — measured
     # +7.6% end-to-end on the TPU with rebase (docs/ab_r03.md).
     i16_taps: bool = True
+    # plane-space normal-equation moments: gradient/error products stay in
+    # plane space and reduce to per-block sums through strided reshape sums
+    # (_block_sums) instead of the sample-major _blocks16 form.  Bit-exact
+    # (same products, same sums, different iteration order of an integer
+    # sum) but measured SLOWER on hardware — XLA's strided lane reduction
+    # relayouts cost more than the _blocks16 transposes it avoids (full
+    # stage 174 vs 155 ms, docs/ab_r04.md) — so default OFF; the shipped
+    # sample-major path reuses the SATD pass's pred16 transpose for the
+    # error term instead of re-transposing the plane.
+    plane_moments: bool = False
     # float32 MAC fields inside the warp kernel: the VPU has no native
     # int32 multiply, so the select/filter fields run faster in f32.
     # Bit-exact (all intermediates are integers < 2^24; proof at
     # ops/warp._warp_kernel) — a perf knob.
     f32_warp: bool = False
-    # base-relative dispatch: subtract a per-(CTU, class, slab) base
-    # displacement (the kernel slides its slab slice by the base instead of
-    # widening the select field), so rung choice / escapes key on the
-    # displacement RANGE within a slab rather than its magnitude — coherent
-    # motion of any size rides the narrowest rung, and fast-path coverage
-    # extends to the tile margins (~±20 rows / ±54 lanes).  Exactness-
-    # neutral: every block beyond the rebased kernel's reach still goes
-    # through the exact fix-up / fallback.  Default ON — measured 1.43 ->
-    # 1.00 s per 1080p frame-ref on the TPU (docs/ab_r03.md); the window
-    # resolves via hardware-probed Mosaic mechanisms (ops/warp._warp_kernel).
-    rebase: bool = True
+    # base-relative dispatch: subtract a base displacement (the kernel
+    # slides its window by the base instead of widening the select field),
+    # so rung choice / escapes key on the displacement RANGE around the
+    # base rather than its magnitude — coherent motion of any size rides
+    # the narrowest rung, and fast-path coverage extends to the tile
+    # margins (~±20 rows / ±54 lanes).  Exactness-neutral: every block
+    # beyond the rebased kernel's reach still goes through the exact
+    # fix-up / fallback.  Values: False/None = off; True or "slab" =
+    # per-(CTU, class, 8-row slab) bases (default — fine dispatch
+    # granularity: local objects and refinement scatter stay on narrow
+    # rungs); "plane" = per-(CTU, class) bases (one whole-tile roll per
+    # grid step, ~2x faster kernels at the hot rungs but plane-coarse
+    # dispatch: measured to LOSE end-to-end on both the synthetic and the
+    # realistic 1080p workloads, docs/ab_r04.md).  Round-3 measured win
+    # for "slab": 1.43 -> 1.00 s per 1080p frame-ref (docs/ab_r03.md).
+    rebase: object = True
+
+    @property
+    def rebase_mode(self):
+        """None | 'slab' | 'plane' (normalizes the bool/str knob)."""
+        if not self.rebase:
+            return None
+        return "slab" if self.rebase is True else self.rebase
 
     @property
     def num_gradient_iters(self) -> int:
@@ -394,6 +419,33 @@ def _factor_planes(cp_tab: P.ClassPlane, n_cp: int):
     return a, b
 
 
+@functools.lru_cache(maxsize=1)
+def _triu128():
+    return np.triu(np.ones((128, 128), np.float32))
+
+
+def _prefix128(v):
+    """Inclusive prefix sum of a 1-D f32 vector via triangular matmuls.
+
+    len(v) must be a multiple of 128.  XLA's native cumsum lowering
+    (reduce-window) materializes a ~19 MB scoped-vmem window expansion at
+    64K+ elements inside large programs (hardware-measured scoped-vmem
+    compile failures, docs/ab_r04.md); the triangular-matmul form runs the
+    same prefix on the MXU with O(rows x 128) memory.  Exact for integer
+    values: every partial sum <= len(v) < 2^24 is f32-representable
+    (precision=HIGHEST keeps the MXU passes f32-exact below 2^24, cf.
+    ops/blockstat.py).
+    """
+    M = jnp.asarray(_triu128())
+    p = jnp.dot(v.reshape(-1, 128), M, precision=lax.Precision.HIGHEST)
+    if p.shape[0] > 1:
+        t = p[:, -1]
+        pad = (-t.shape[0]) % 128
+        off = _prefix128(jnp.pad(t, (0, pad)))[:t.shape[0]] - t
+        p = p + off[:, None]
+    return p.ravel()
+
+
 def _zero_telem() -> EvalTelemetry:
     z = jnp.int32(0)
     return EvalTelemetry(z, z, z, jnp.zeros(MAX_LADDER, jnp.int32))
@@ -442,25 +494,28 @@ def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     # scatter is harmless.  The reference pays its full 121-load cost
     # for EVERY sub-block (affine.cl:288-326); here only outliers do.
     E = spec.escape_budget
-    # group-table floor 64: real content reached 17 escape-containing
-    # groups (past the old floor of 16) and paid a multi-second whole-frame
-    # fallback; headroom here is a few extra rows of a tiny gather
-    GT = max(E // NB // NB, 64)
-    esc_g = esc.any(axis=(-2, -1)).ravel()           # [nCtu*nCls]
-    n_groups = esc_g.sum()
-    over = (n_esc > E) | (n_groups > GT)
+    n_groups = esc.any(axis=(-2, -1)).sum()          # telemetry only
+    over = n_esc > E
 
     def fix(pred):
-        # two-level compaction: a flat nonzero over all block flags costs
-        # >100 ms (its cumsum also trips XLA's scoped-vmem limit); first
-        # compact escape-containing (ctu, class) groups (~1.6k flags), then
-        # blocks within those groups.
-        (gidx,) = jnp.nonzero(esc_g, size=GT, fill_value=0)
-        gidx = gidx.astype(jnp.int32)
-        g_flags = esc.reshape(-1, NB * NB)[gidx]     # [GT, NB*NB]
-        (fi,) = jnp.nonzero(g_flags.ravel(), size=E, fill_value=0)
-        fi = fi.astype(jnp.int32)
-        flat_idx = gidx[fi // (NB * NB)] * (NB * NB) + fi % (NB * NB)
+        # Compaction WITHOUT jnp.nonzero: its cumsum lowering
+        # (reduce-window) carries a ~19 MB scoped-vmem working set at 64K+
+        # flags inside this program and fails TPU compilation outright
+        # (hardware-measured; it compiles standalone — the budget is
+        # shared with co-scheduled fusions).  Instead: an MXU
+        # triangular-matmul prefix over ALL block flags (f32-exact,
+        # _prefix128) + a binary-search extraction of the first E flagged
+        # indices (fi[e] = first index with prefix >= e+1).  No group or
+        # slab tables, no caps beyond the E budget itself — the former
+        # group-table cap sent realistic content (a moving object
+        # touching 144 (ctu, class) groups) to the multi-second
+        # whole-frame fallback every pass.
+        prefix = _prefix128(esc.ravel().astype(jnp.float32))
+        targets = jnp.arange(1, E + 1, dtype=jnp.float32)
+        fi = jnp.searchsorted(prefix, targets, side="left")
+        # slots beyond the escape count point at block 0 (fill), whose
+        # recompute equals the fast-path value, so the scatter is harmless
+        flat_idx = jnp.where(jnp.arange(E) < n_esc, fi, 0).astype(jnp.int32)
         bxi = flat_idx % NB
         byi = (flat_idx // NB) % NB
         ci = (flat_idx // (NB * NB)) % n_bins
@@ -501,33 +556,46 @@ def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     return pred, telem
 
 
-def _rebase_bases(ladder: Tuple[int, ...], dy, dx, val):
-    """Per-slab base displacements for the rebased dispatch.
+def _rebase_bases(ladder: Tuple[int, ...], dy, dx, val,
+                  granularity: str = "slab"):
+    """Base displacements for the rebased dispatch.
 
-    Base = midrange of the slab's VALID block displacements, clamped into
-    the window legal for every ladder rung (warp.rebase_base_limits).
-    Returns (by0, bx0 [nCtu, nBins, 16], dy_k, dx_k base-subtracted planes,
-    admax residual |d'| over valid blocks) — the inputs every dispatch
-    decision and the rebased kernel key on.
+    Base = midrange of the VALID block displacements within the
+    granularity unit (an 8-row slab, or the whole plane), clamped into the
+    window legal for every ladder rung (warp.rebase_base_limits).  Slab
+    granularity keeps dispatch fine (local objects / refinement scatter
+    rebase independently); plane granularity enables the faster
+    single-tile-roll kernel (see PlaneSpec.rebase).
+    Returns (by0, bx0 [nCtu, nBins, 16] or [nCtu, nBins], dy_k, dx_k
+    base-subtracted planes, admax residual |d'| over valid blocks) — the
+    inputs every dispatch decision and the rebased kernel key on.
     """
     BIG = jnp.int32(1 << 20)
+    per_slab = granularity == "slab"
 
-    def slab_red(x, fill, red):
+    def red(x, fill, r):
         xm = jnp.where(val, x, fill)
-        return red(xm.reshape(xm.shape[:2] + (16, 2, NB)), axis=(-2, -1))
+        if per_slab:
+            return r(xm.reshape(xm.shape[:2] + (16, 2, NB)), axis=(-2, -1))
+        return r(xm, axis=(-2, -1))
 
-    dy_mn = slab_red(dy, BIG, jnp.min)
-    dy_mx = slab_red(dy, -BIG, jnp.max)
-    dx_mn = slab_red(dx, BIG, jnp.min)
-    dx_mx = slab_red(dx, -BIG, jnp.max)
-    anyv = dy_mn <= dy_mx          # any valid block in the slab
-    by_lo, by_hi, bx_lo, bx_hi = warp_ops.rebase_base_limits(ladder)
+    dy_mn = red(dy, BIG, jnp.min)
+    dy_mx = red(dy, -BIG, jnp.max)
+    dx_mn = red(dx, BIG, jnp.min)
+    dx_mx = red(dx, -BIG, jnp.max)
+    anyv = dy_mn <= dy_mx          # any valid block in the unit
+    by_lo, by_hi, bx_lo, bx_hi = warp_ops.rebase_base_limits(
+        ladder, granularity)
     by0 = jnp.where(anyv, (dy_mn + dy_mx) >> 1, 0)
     bx0 = jnp.where(anyv, (dx_mn + dx_mx) >> 1, 0)
     by0 = clamp(by0, jnp.asarray(by_lo), jnp.asarray(by_hi))
     bx0 = clamp(bx0, jnp.int32(bx_lo), jnp.int32(bx_hi))
-    dy_k = dy - jnp.repeat(by0, 2, axis=-1)[..., None]
-    dx_k = dx - jnp.repeat(bx0, 2, axis=-1)[..., None]
+    if per_slab:
+        dy_k = dy - jnp.repeat(by0, 2, axis=-1)[..., None]
+        dx_k = dx - jnp.repeat(bx0, 2, axis=-1)[..., None]
+    else:
+        dy_k = dy - by0[..., None, None]
+        dx_k = dx - bx0[..., None, None]
     # dispatch/escape distance: residual |d'| over VALID blocks
     admax = jnp.where(val, jnp.maximum(jnp.abs(dy_k), jnp.abs(dx_k)), 0)
     return by0, bx0, dy_k, dx_k, admax
@@ -540,7 +608,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     ``orig`` is the (orig_pl, orig16) pair from ``_orig_forms``.
     Returns (satd [nCtu,nCU] i64, M, rhs | None, telem: EvalTelemetry).
     """
-    rb = spec.rebase
+    rb = spec.rebase_mode
     if rb:
         dy, dx, fx, fy, val = _mv_planes(spec, t, dyn, cpmvs,
                                          with_valid=True)
@@ -575,7 +643,8 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
         act_static = dyn.slab_act
         by0 = bx0 = None
         if rb:
-            by0, bx0, dy_k, dx_k, admax = _rebase_bases(ladder, dy, dx, val)
+            by0, bx0, dy_k, dx_k, admax = _rebase_bases(ladder, dy, dx,
+                                                        val, rb)
         else:
             dy_k, dx_k = dy, dx
             admax = None
@@ -602,10 +671,20 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
                 admax.shape[:2] + (16, 2, NB)).max(axis=(-2, -1))
 
             def units(r):
-                # per-slab arithmetic weight of the R=r kernel: the Ht
-                # select field (NS x NR) plus roughly fixed mask/select/
-                # filter work (see ops/warp._warp_kernel)
-                return (2 * r + 6) * (2 * r + 9) + 130
+                # per-slab weight of the R=r kernel, fit to the round-4
+                # hardware profile (docs/ab_r04.md): whole-kernel ms at
+                # R=1/2/4/8 were 4.2/8.4/30.3/70.2 (plane-granular roll)
+                # and ~7.9/14.2/33.1/62.2 (slab-granular windows, round-3
+                # measurement of the same window mechanism) — the Ht
+                # field's lane-relayout cost grows faster than its NS*NR
+                # MAC count, so the weight interpolates measured points
+                # on the NS*NR axis (r is static: ladder entries)
+                x = (2 * r + 6) * (2 * r + 9)
+                if rb == "plane":
+                    return float(np.interp(x, [88, 130, 238, 550],
+                                           [42, 84, 303, 702]))
+                return float(np.interp(x, [88, 130, 238, 550],
+                                       [79, 142, 331, 702]))
 
             n_slabs = act_static.sum()
             costs = []
@@ -667,6 +746,7 @@ def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig, within_j,
     orig_pl, orig16 = orig
     one_bin = pred.shape[1] == 1
     # ---- SATD per block, reduced per CU --------------------------------
+    pred16 = None
     if spec.mxu_reduce:
         sb_satd = blockstat_ops.satd_blocks(orig_pl[:, None], pred)
     else:
@@ -698,21 +778,30 @@ def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig, within_j,
         # moments per block (int32-exact: |g|<=4*1023, 16 samples); pred
         # planes may arrive int16 (10-bit samples, half the HBM traffic),
         # so the products are cast up explicitly.
-        if spec.mxu_reduce:
-            # plane-space products fused into blockstat's sublane/MXU
-            # block sums — no transposes anywhere
+        if spec.mxu_reduce or spec.plane_moments:
+            # plane-space products + per-block sums with NO sample-major
+            # transposes: either blockstat's MXU matmul form or plain
+            # strided reshape sums (_block_sums).  The round-4 device
+            # profile attributed most of reduce_pred to the _blocks16
+            # relayouts (3 full planes per bin per evaluate).
             gx32 = gx.astype(jnp.int32)
             gy32 = gy.astype(jnp.int32)
             err = orig_pl.astype(jnp.int32) - plane.astype(jnp.int32)
             prods = jnp.stack(
                 [gx32 * gx32, gx32 * gy32, gy32 * gy32,
                  gx32 * err, gy32 * err], axis=1)  # [nCtu, 5, 128, 128]
-            moments.append(blockstat_ops.block_sums_i64(prods))
+            if spec.mxu_reduce:
+                moments.append(blockstat_ops.block_sums_i64(prods))
+            else:
+                # |prod| < 2^25 per sample, 16-sample block sums < 2^29 —
+                # int32-exact; widen to the i64 contract after the sum
+                moments.append(_block_sums(prods).astype(jnp.int64))
         else:
             # Blocks are sample-major [.., 16, NB*NB]: products/sums run on
             # 1024-lane vectors, the [NB, NB] plane shape is restored only
-            # for the per-CU reduction.
-            err16 = orig16 - _blocks16(plane)
+            # for the per-CU reduction.  The error reuses the SATD pass's
+            # pred16 transpose instead of re-transposing the plane.
+            err16 = orig16 - pred16[:, 0 if one_bin else bi].astype(jnp.int32)
             gx16 = _blocks16(gx).astype(jnp.int32)
             gy16 = _blocks16(gy).astype(jnp.int32)
             prods = jnp.stack(

@@ -61,9 +61,8 @@ MAX_R = 16   # tile geometry supports |displacement| bound R up to this
 # (r, c) sits at tile (r + TILE_TOP, c + TILE_LEFT).  Row reach per 4x4 block
 # at block-row by with |dy| <= R is [4 by - R - 2, 4 by + R + 7); column
 # reach is [c - R - 2, c + R + 4) — both inside the tile for R <= MAX_R.
-# TILE_H carries 8 extra rows beyond the legacy kernels' 176-row reach so
-# the rebased kernel's 8-row-taller aligned load window keeps the same
-# bottom-slab base reach (see rebase_base_limits).
+# TILE_H carries 8 extra rows beyond the legacy kernels' 176-row reach to
+# widen the rebased kernel's legal base window (see rebase_base_limits).
 TILE_TOP = 24
 TILE_LEFT = PAD
 TILE_H = 184
@@ -206,33 +205,53 @@ def _rb_geom(R: int):
     return NS, S0, DIRECT_DY, NR, SLAB_H, WS
 
 
-def rebase_base_limits(R_ladder):
-    """Legal per-slab base windows for the rebased kernel, intersected over
-    every rung in ``R_ladder`` (the pass-2/fix-up kernel runs at the widest
-    rung around the SAME base, so one base must be legal for all).
+def rebase_base_limits(R_ladder, granularity: str = "slab"):
+    """Legal base windows for the rebased kernel, intersected over every
+    rung in ``R_ladder`` (the pass-2/fix-up kernel runs at the widest rung
+    around the SAME base, so one base must be legal for all).
 
-    Returns (by_lo[16], by_hi[16], bx_lo, bx_hi) as numpy int32; a base
-    clamped into these windows always yields in-bounds tile slices in
-    _warp_kernel(rebase=True).
+    granularity="slab": one base per (CTU, class, 8-row slab) — the kernel
+    resolves each slab's window with a dynamic 8-aligned load + sublane
+    roll + lane roll.  Returns (by_lo[16], by_hi[16], bx_lo, bx_hi) numpy
+    int32; slab k loads SLAB_H+8 rows from the 8-aligned floor of
+    sb = 8k + by0 + 22 - R, so 0 <= sb <= TILE_H - SLAB_H - 8.
+
+    granularity="plane": one base per (CTU, class) — the kernel rolls the
+    whole tile ONCE per grid step and addresses every slab with static
+    slices, so the base must keep all 16 slabs in-tile: slab k reads tile
+    rows [8k + (22 - R) + by0, + SLAB_H), bounded by k=0 (>= 0) and k=15
+    (<= TILE_H).  Returns scalar numpy int32 (by_lo, by_hi, bx_lo, bx_hi).
+
+    Lanes (both): lane0 = TILE_LEFT + S0 + bx0 in [0, TILE_W - WS].
     """
-    ks = np.arange(16)
-    by_lo = np.full(16, -(1 << 30))
-    by_hi = np.full(16, 1 << 30)
     bx_lo, bx_hi = -(1 << 30), 1 << 30
+    if granularity == "slab":
+        ks = np.arange(16)
+        by_lo = np.full(16, -(1 << 30))
+        by_hi = np.full(16, 1 << 30)
+        for R in R_ladder:
+            NS, S0, _, NR, SLAB_H, WS = _rb_geom(R)
+            by_lo = np.maximum(by_lo, R - 22 - 8 * ks)
+            by_hi = np.minimum(by_hi, TILE_H - SLAB_H - 8 - 8 * ks - 22 + R)
+            bx_lo = max(bx_lo, -(TILE_LEFT + S0))
+            bx_hi = min(bx_hi, TILE_W - WS - TILE_LEFT - S0)
+        return (by_lo.astype(np.int32), by_hi.astype(np.int32),
+                np.int32(bx_lo), np.int32(bx_hi))
+    assert granularity == "plane"
+    by_lo, by_hi = -(1 << 30), 1 << 30
     for R in R_ladder:
         NS, S0, _, NR, SLAB_H, WS = _rb_geom(R)
-        # rows: the kernel loads SLAB_H+8 rows from the 8-aligned floor of
-        # sb = 8k + by0 + 22 - R, so 0 <= sb <= TILE_H - SLAB_H - 8
-        by_lo = np.maximum(by_lo, R - 22 - 8 * ks)
-        by_hi = np.minimum(by_hi, TILE_H - SLAB_H - 8 - 8 * ks - 22 + R)
-        # lanes: lane0 = TILE_LEFT + S0 + bx0, 0 <= lane0 <= TILE_W - WS
+        by_lo = max(by_lo, R - 22)
+        by_hi = min(by_hi, TILE_H - SLAB_H - 8 * 15 - 22 + R)
         bx_lo = max(bx_lo, -(TILE_LEFT + S0))
         bx_hi = min(bx_hi, TILE_W - WS - TILE_LEFT - S0)
-    return (by_lo.astype(np.int32), by_hi.astype(np.int32),
+    return (np.int32(by_lo), np.int32(by_hi),
             np.int32(bx_lo), np.int32(bx_hi))
 
 
-def _warp_kernel(R: int, f32: bool = False, rebase: bool = False):
+def _warp_kernel(R: int, f32: bool = False, rebase=None):
+    # rebase: None (raw displacements) | "slab" | "plane" (granularity of
+    # the base-relative window; see rebase_base_limits)
     NS, S0, DIRECT_DY, NR = _geom(R)
     if rebase:
         _, _, _, _, SLAB_H, WS = _rb_geom(R)
@@ -254,52 +273,17 @@ def _warp_kernel(R: int, f32: bool = False, rebase: bool = False):
             return jnp.floor((x + jnp.float32(off)) * jnp.float32(2.0 ** -sh))
         return (x + off) >> sh
 
-    def body(k, by_ref, bx_ref, dy_ref, dx_ref, hc_ref, vc_ref, tile_ref,
-             out_ref, rows8):
-        if rebase:
-            # Rebased slab: the per-slab base displacement (by0, bx0) moves
-            # the slice window instead of widening the select field, so the
-            # kernel's R only has to cover the RANGE of displacements within
-            # the slab, not their magnitude (coherent motion of any size
-            # rides the narrowest rung).  Bases are host-clamped into
-            # rebase_base_limits, so the window is in-bounds; the dy/dx
-            # planes arrive base-subtracted (|.| <= R).
-            #
-            # Mosaic only lowers dynamic REF loads whose sublane start is
-            # provably a multiple of 8 and whose lane start is static
-            # (hardware-probed: tools/mosaic_probe.py), so the dynamic
-            # window resolves in three probe-validated steps: an 8-aligned
-            # dynamic row load 8 rows taller than needed, a dynamic sublane
-            # roll for the 0..7 row residual, and a dynamic lane roll for
-            # the column base.  pltpu.roll(x, s, a): out[i] = x[(i-s) mod n]
-            # — to bring src index `off` to 0, shift by (n - off) % n; the
-            # wrapped tail lands beyond the rows/lanes the body reads.
-            sb_raw = 8 * k + (22 - R) + by_ref[0, 0, 0, k]
-            q8 = pl.multiple_of((sb_raw >> 3) << 3, 8)
-            nrow = SLAB_H + 8
-            wide = tile_ref[0, pl.ds(q8, nrow), :].astype(acc_dtype)
-            rr = sb_raw & 7
-            wide = pltpu.roll(wide, (nrow - rr) % nrow, 0)
-            lane0 = (TILE_LEFT + S0) + bx_ref[0, 0, 0, k]
-            # lane-roll only the rows the body reads ([0, 4 + NR) <= SLAB_H)
-            slab = pltpu.roll(wide[0:SLAB_H, :], (TILE_W - lane0) % TILE_W, 1)
-        else:
-            # slab k (block rows 2k, 2k+1) reads tile rows [8k, 8k+SLAB_H)
-            # (body predicated off for slabs with no valid blocks in this
-            # bin — 23% of half-aligned slabs; consumers mask those slots)
-            slab = tile_ref[0, 8 * k:8 * k + SLAB_H, :].astype(acc_dtype)
-
+    def body(k, slab, dy_ref, dx_ref, hc_ref, vc_ref, out_ref, rows8):
+        # ---- HMASK per block row: fused dx-select + horizontal taps ----
+        # NB: must be `- (R+2)`, not `+ S0`: an add with a negative
+        # i32 constant sends Mosaic's convert lowering into infinite
+        # recursion (jax 0.9.0)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (NS, 128), 0) - (R + 2)
+        dyls, hms = [], []
         for j in range(2):
             sy = 2 * k + j
-            dyl = dy_ref[0, 0, pl.ds(sy, 1), :]     # [1, 128]
+            dyls.append(dy_ref[0, 0, pl.ds(sy, 1), :])   # [1, 128]
             dxl = dx_ref[0, 0, pl.ds(sy, 1), :]
-
-            # ---- HMASK: fused dx-select + horizontal taps ----
-            # NB: must be `- (R+2)`, not `+ S0`: an add with a negative
-            # i32 constant sends Mosaic's convert lowering into infinite
-            # recursion (jax 0.9.0)
-            srow = jax.lax.broadcasted_iota(
-                jnp.int32, (NS, 128), 0) - (R + 2)
             tsel = srow - dxl + 3
             hmask = jnp.zeros((NS, 128), acc_dtype)
             for t in range(1, 7):
@@ -307,16 +291,25 @@ def _warp_kernel(R: int, f32: bool = False, rebase: bool = False):
                 hct = hc_ref[0, 0, t - 1, pl.ds(sy, 1), :].astype(
                     acc_dtype)
                 hmask = jnp.where(tsel == t, hct, hmask)
+            hms.append(hmask)
 
-            # ---- Ht: horizontal filter at all candidate rows ----
-            # candidate rows rel slab: [4j + 22 - R, 4j + 31 + R)
-            # (rebased slab starts at the first candidate row: RLO = 4j)
-            RLO = 4 * j if rebase else 4 * j + 22 - R
-            CL = 0 if rebase else TILE_LEFT + S0
-            ht = jnp.zeros((NR, 128), acc_dtype)
-            for si in range(NS):
-                seg = slab[RLO:RLO + NR, CL + si:CL + si + 128]
-                ht = ht + seg * hmask[si:si + 1, :]
+        # ---- Ht: horizontal filter at all candidate rows, both block
+        # rows accumulated off ONE lane-shifted slice per tap position
+        # (the two rows' candidate windows overlap by NR-4 rows; sharing
+        # the slice halves the lane-relayout traffic) ----
+        # candidate rows rel slab: [4j + 22 - R, 4j + 31 + R)
+        # (rebased slab starts at the first candidate row: RLO = 4j)
+        RLO0 = 0 if rebase else 22 - R
+        CL = 0 if rebase else TILE_LEFT + S0
+        ht0 = jnp.zeros((NR, 128), acc_dtype)
+        ht1 = jnp.zeros((NR, 128), acc_dtype)
+        for si in range(NS):
+            S = slab[RLO0:RLO0 + 4 + NR, CL + si:CL + si + 128]
+            ht0 = ht0 + S[0:NR, :] * hms[0][si:si + 1, :]
+            ht1 = ht1 + S[4:4 + NR, :] * hms[1][si:si + 1, :]
+
+        for j, ht in ((0, ht0), (1, ht1)):
+            dyl = dyls[j]
             ht = _shift(ht, _OFF1, _SHIFT1)
 
             # ---- dy-select: w9[wy, x] = Ht[dy(x) + R + wy, x] ----
@@ -339,7 +332,8 @@ def _warp_kernel(R: int, f32: bool = False, rebase: bool = False):
             # ---- vertical filter (6 taps: w9 rows [u, u+4)) ----
             pred = jnp.zeros((4, 128), acc_dtype)
             for u in range(6):
-                vct = vc_ref[0, 0, u, pl.ds(sy, 1), :].astype(acc_dtype)
+                vct = vc_ref[0, 0, u, pl.ds(2 * k + j, 1), :].astype(
+                    acc_dtype)
                 pred = pred + w[u:u + 4, :] * vct
             pred = _shift(pred, _OFF2, _SHIFT2)
             # int32 bounds: with jax_enable_x64 on, python-int clip
@@ -357,29 +351,83 @@ def _warp_kernel(R: int, f32: bool = False, rebase: bool = False):
     # and int64 index arithmetic inside Mosaic kernels breaks lowering
     # (infinite _convert_helper recursion, jax 0.9.0); the static form
     # also gives Mosaic compile-time slab addresses.
-    if rebase:
-        def kernel(act_ref, by_ref, bx_ref, dy_ref, dx_ref, hc_ref, vc_ref,
-                   tile_ref, out_ref, rows8):
+    if rebase == "slab":
+        def kernel(act_ref, by_ref, bx_ref, dy_ref, dx_ref, hc_ref,
+                   vc_ref, tile_ref, out_ref, rows8):
+            # Per-slab base window: a dynamic 8-aligned REF load 8 rows
+            # taller than needed, a dynamic sublane roll for the 0..7 row
+            # residual, and a dynamic lane roll for the column base — the
+            # probe-validated Mosaic mechanisms (tools/mosaic_probe.py;
+            # Mosaic only lowers dynamic ref loads whose sublane start is
+            # provably a multiple of 8 with a static lane start).
+            # pltpu.roll(x, s, a): out[i] = x[(i-s) mod n] — to bring src
+            # index `off` to 0, shift by (n - off) % n; the wrapped tail
+            # lands beyond the rows/lanes the body reads.  Slab-granular
+            # bases cost ~2x the plane-granular tile roll at the hot rungs
+            # (docs/ab_r04.md) but keep the dispatch fine-grained: motion
+            # only has to cohere WITHIN a slab, not across the plane —
+            # local objects / refinement scatter stay on narrow rungs.
             for k in range(16):
                 @pl.when(act_ref[0, 0, 0, k] != 0)
                 def _(k=k):
-                    body(k, by_ref, bx_ref, dy_ref, dx_ref, hc_ref, vc_ref,
-                         tile_ref, out_ref, rows8)
+                    sb_raw = 8 * k + (22 - R) + by_ref[0, 0, 0, k]
+                    q8 = pl.multiple_of((sb_raw >> 3) << 3, 8)
+                    nrow = SLAB_H + 8
+                    wide = tile_ref[0, pl.ds(q8, nrow), :].astype(acc_dtype)
+                    rr = sb_raw & 7
+                    wide = pltpu.roll(wide, (nrow - rr) % nrow, 0)
+                    lane0 = (TILE_LEFT + S0) + bx_ref[0, 0, 0, k]
+                    slab = pltpu.roll(wide[0:SLAB_H, :],
+                                      (TILE_W - lane0) % TILE_W, 1)
+                    body(k, slab, dy_ref, dx_ref, hc_ref, vc_ref, out_ref,
+                         rows8)
+    elif rebase == "plane":
+        def kernel(act_ref, byp_ref, bxp_ref, dy_ref, dx_ref, hc_ref,
+                   vc_ref, tile_ref, out_ref, rows8):
+            # Base-relative window, resolved ONCE per grid step: the whole
+            # CTU tile rolls by the per-plane base (dynamic sublane + lane
+            # rolls — the probe-validated Mosaic mechanisms,
+            # tools/mosaic_probe.py; pltpu.roll(x, s, a): out[i] =
+            # x[(i-s) mod n]), after which every slab is a STATIC slice —
+            # rows [8k, 8k + SLAB_H) are tile rows [8k + (22-R) + by0, ...)
+            # for every k.  Bases are host-clamped into rebase_base_limits
+            # so no active slab's slice wraps.  One tile roll per (CTU,
+            # class) instead of 16 slab windows — ~2x faster than the
+            # "slab" variant at the hot rungs (docs/ab_r04.md) at the cost
+            # of plane-coarse dispatch granularity.
+            sbp = (22 - R) + byp_ref[0, 0, 0, 0]
+            lane0 = (TILE_LEFT + S0) + bxp_ref[0, 0, 0, 0]
+            # widen BEFORE rolling: Mosaic's dynamic rotate only lowers
+            # 32-bit element types ("Rotate with non-32-bit data")
+            rt = tile_ref[0, :, :].astype(acc_dtype)
+            rt = pltpu.roll(rt, (TILE_H - sbp) % TILE_H, 0)
+            rta = pltpu.roll(rt, (TILE_W - lane0) % TILE_W, 1)
+            for k in range(16):
+                @pl.when(act_ref[0, 0, 0, k] != 0)
+                def _(k=k):
+                    body(k, rta[8 * k:8 * k + SLAB_H, :], dy_ref, dx_ref,
+                         hc_ref, vc_ref, out_ref, rows8)
     else:
         def kernel(act_ref, dy_ref, dx_ref, hc_ref, vc_ref, tile_ref,
                    out_ref, rows8):
             for k in range(16):
                 @pl.when(act_ref[0, 0, 0, k] != 0)
                 def _(k=k):
-                    body(k, None, None, dy_ref, dx_ref, hc_ref, vc_ref,
-                         tile_ref, out_ref, rows8)
+                    # slab k (block rows 2k, 2k+1) reads tile rows
+                    # [8k, 8k + SLAB_H) (body predicated off for slabs
+                    # with no valid blocks in this bin — 23% of
+                    # half-aligned slabs; consumers mask those slots)
+                    body(k,
+                         tile_ref[0, 8 * k:8 * k + SLAB_H, :].astype(
+                             acc_dtype),
+                         dy_ref, dx_ref, hc_ref, vc_ref, out_ref, rows8)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
 def _warp_pallas_fn(n_ctu: int, n_cls: int, R: int, interpret: bool,
-                    f32: bool = False, rebase: bool = False):
+                    f32: bool = False, rebase=None):
     if not 1 <= R <= MAX_R:
         raise ValueError(f"R must be in [1, {MAX_R}]")
     kernel = _warp_kernel(R, f32, rebase)
@@ -396,9 +444,12 @@ def _warp_pallas_fn(n_ctu: int, n_cls: int, R: int, interpret: bool,
     # act is [nCtu, nCls, 1, 16]: Mosaic requires the block's last
     # two dims to equal the array's (or be (8k, 128k))
     smem16 = pl.BlockSpec((1, 1, 1, 16), im_act, memory_space=pltpu.SMEM)
+    smem1 = pl.BlockSpec((1, 1, 1, 1), im_act, memory_space=pltpu.SMEM)
     in_specs = [smem16]
-    if rebase:
+    if rebase == "slab":
         in_specs += [smem16, smem16]   # by0, bx0 per (ctu, cls, slab)
+    elif rebase == "plane":
+        in_specs += [smem1, smem1]     # by0, bx0 per (ctu, cls)
     in_specs += [
         pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, NB, 128), im_blk, memory_space=pltpu.VMEM),
@@ -442,8 +493,9 @@ def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
     are skipped and their output rows are unspecified (used both for the
     static never-valid slabs of half-aligned classes and for the dynamic
     escaped-slab second pass of the adaptive dispatcher).
-    base_y/base_x: optional int32 [nCtu, nCls, 16] per-slab base
-    displacements (the rebased kernel; must be inside rebase_base_limits).
+    base_y/base_x: optional int32 base displacements for the rebased
+    kernel — [nCtu, nCls, 16] (per-slab granularity) or [nCtu, nCls]
+    (per-plane), each inside the matching rebase_base_limits window.
     When given, dy_l/dx_l must already be base-subtracted — the kernel is
     then exact iff all |dy - by0|, |dx - bx0| <= R.
     Returns int16 [nCtu, nCls, 128, 128] (samples are 10-bit; keeping the
@@ -453,7 +505,9 @@ def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
     if slab_active is None:
         slab_active = jnp.ones((n_ctu, n_cls, 16), jnp.int32)
     slab_active = slab_active.reshape(n_ctu, n_cls, 1, 16)
-    rebase = base_y is not None
+    rebase = None
+    if base_y is not None:
+        rebase = "slab" if base_y.ndim == 3 else "plane"
     fn = _warp_pallas_fn(n_ctu, n_cls, R, interpret, f32, rebase)
     # Trace the kernel with x64 semantics off: the package enables
     # jax_enable_x64 globally (the VTM solver needs f64), which leaks i64
@@ -462,9 +516,13 @@ def warp_pallas(tiles, dy_l, dx_l, hc_l, vc_l, R: int = 8,
     # func.return legalization failures, jax 0.9.0).  All kernel dtypes are
     # explicit, so semantics are unchanged.
     with jax.enable_x64(False):
-        if rebase:
+        if rebase == "slab":
             by = base_y.reshape(n_ctu, n_cls, 1, 16).astype(jnp.int32)
             bx = base_x.reshape(n_ctu, n_cls, 1, 16).astype(jnp.int32)
+            return fn(slab_active, by, bx, dy_l, dx_l, hc_l, vc_l, tiles)
+        if rebase == "plane":
+            by = base_y.reshape(n_ctu, n_cls, 1, 1).astype(jnp.int32)
+            bx = base_x.reshape(n_ctu, n_cls, 1, 1).astype(jnp.int32)
             return fn(slab_active, by, bx, dy_l, dx_l, hc_l, vc_l, tiles)
         return fn(slab_active, dy_l, dx_l, hc_l, vc_l, tiles)
 
