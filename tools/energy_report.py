@@ -27,7 +27,7 @@ import csv
 import re
 import sys
 
-_STAMP = re.compile(r"^(START|FINISHED) ([A-Za-z0-9_ .]+?),(\d+)\.(\d+),")
+_STAMP = re.compile(r"^(START|FINISHED) ([A-Za-z0-9_ .+-]+?),(\d+)\.(\d+),")
 
 
 def parse_stamps(log_path):

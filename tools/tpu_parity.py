@@ -71,7 +71,11 @@ def _run_chain(fw, fh, knobs):
 
 
 def main():
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = sys.argv[1:]
+    # drop option values (the token after --out) from the positionals
+    skip = {args[i + 1] for i, a in enumerate(args)
+            if a == "--out" and i + 1 < len(args)}
+    pos = [a for a in args if not a.startswith("--") and a not in skip]
     res = pos[0] if pos else "416x240"
     fw, fh = (int(v) for v in res.split("x"))
     # knob flags: --mxu / --no-mxu etc.; absent -> the shipped default
