@@ -148,7 +148,8 @@ def inner_main():
     """The measured run (owns the TPU for its lifetime)."""
     import jax
 
-    times, compile_s, cus = run_workload(FW, FH, N_ITERS)
+    times, compile_s, cus, telem_syn = run_workload(
+        FW, FH, N_ITERS, with_telemetry=True)
     dt = min(times)
     cus_per_sec = cus / dt
 
@@ -175,6 +176,9 @@ def inner_main():
         "frame_refs_per_sec": round(1.0 / dt, 3),
         "compile_plus_first_run_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
+        "escapes": telem_syn["escapes"],
+        "fallbacks": telem_syn["fallbacks"],
+        "rung_hist": telem_syn["rung_hist"],
     }
     # realistic-content workload: same compiled stages (same resolution),
     # affine-true pan/zoom/rotation + fast local object instead of the
