@@ -139,7 +139,7 @@ def bench_knobs():
     """Knob overrides from env; unset -> the shipped PlaneSpec default."""
     names = dict(mxu_reduce="VVC_BENCH_MXU", i16_taps="VVC_BENCH_I16",
                  f32_warp="VVC_BENCH_F32", rebase="VVC_BENCH_REBASE",
-                 plane_moments="VVC_BENCH_MOM")
+                 plane_moments="VVC_BENCH_MOM", fused_reduce="VVC_BENCH_FUSED")
     return {k: os.environ[v] == "1"
             for k, v in names.items() if v in os.environ}
 
@@ -189,6 +189,8 @@ def inner_main():
             FW, FH, N_ITERS, frames=realistic_frames, with_telemetry=True)
         dtr = min(tr)
         out["sec_per_frame_ref_1080p_realistic"] = round(dtr, 4)
+        out["sec_per_frame_ref_1080p_realistic_stdev"] = round(
+            statistics.stdev(tr) if len(tr) > 1 else 0.0, 4)
         out["cus_per_sec_realistic"] = round(cusr / dtr, 1)
         out["escapes_realistic"] = telem["escapes"]
         out["fallbacks_realistic"] = telem["fallbacks"]
@@ -198,8 +200,25 @@ def inner_main():
         t4, compile4_s, cus4 = run_workload(FW4K, FH4K, N_ITERS_4K)
         dt4 = min(t4)
         out["sec_per_frame_ref_4k"] = round(dt4, 4)
+        out["sec_per_frame_ref_4k_stdev"] = round(
+            statistics.stdev(t4) if len(t4) > 1 else 0.0, 4)
         out["cus_per_sec_4k"] = round(cus4 / dt4, 1)
         out["compile_plus_first_run_4k_s"] = round(compile4_s, 1)
+        # affine-true content at 4K: the realistic workload's cap/overflow
+        # failure class (docs/ab_r04.md section 3) scales with CTU count
+        # (510 here), so it must be benched at full resolution too
+        if os.environ.get("VVC_BENCH_REALISTIC", "1") != "0":
+            t4r, _, cus4r, telem4 = run_workload(
+                FW4K, FH4K, N_ITERS_4K, frames=realistic_frames,
+                with_telemetry=True)
+            dt4r = min(t4r)
+            out["sec_per_frame_ref_4k_realistic"] = round(dt4r, 4)
+            out["sec_per_frame_ref_4k_realistic_stdev"] = round(
+                statistics.stdev(t4r) if len(t4r) > 1 else 0.0, 4)
+            out["cus_per_sec_4k_realistic"] = round(cus4r / dt4r, 1)
+            out["escapes_4k_realistic"] = telem4["escapes"]
+            out["fallbacks_4k_realistic"] = telem4["fallbacks"]
+            out["rung_hist_4k_realistic"] = telem4["rung_hist"]
     print(json.dumps(out))
 
 

@@ -102,5 +102,22 @@ def test_realistic_motion_telemetry():
     # the object moves beyond the widest rung: fix-ups should fire, and
     # stay well under the per-evaluate budget (4096 blocks)
     assert timing.max_groups <= 48, timing.max_groups
+    # the rung-choice histogram must reach production telemetry (the
+    # counter that exposed the round-4 realistic-content pathology) and
+    # the timing report must print it.  On CPU the engine rides the exact
+    # warp_xla path (no adaptive dispatch), so the pipeline wiring above
+    # only proves the plumbing carries zeros; accumulate counts explicitly
+    # to verify the report surface.
+    timing.add_escapes(0, 0, 0, rung_hist=[3, 1, 0, 0])
+    timing.add_escapes(0, 0, 0, rung_hist=[1, 0, 2, 0])
+    assert timing.rung_hist[:4] == [4, 1, 2, 0]
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        timing.report(n_frames=n)
+    assert "RUNG_HIST,4,1,2,0" in buf.getvalue()
     print(f"telemetry: escapes={timing.escapes} "
-          f"max_groups={timing.max_groups} fallbacks={timing.fallbacks}")
+          f"max_groups={timing.max_groups} fallbacks={timing.fallbacks} "
+          f"rung_hist={timing.rung_hist[:4]}")

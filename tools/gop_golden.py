@@ -67,7 +67,21 @@ def main():
     files = {}
     verdict = "byte-identical"
     plane_files = sorted(f for f in os.listdir(tmp) if f.startswith("plane_"))
+    gather_files = sorted(
+        f for f in os.listdir(tmp) if f.startswith("gather_"))
+    # compare the SUFFIX SETS first: an engine writing fewer (or
+    # differently named) logs must register as a mismatch, not pass
+    # silently or crash on a missing counterpart
+    psuf = {f[len("plane_"):] for f in plane_files}
+    gsuf = {f[len("gather_"):] for f in gather_files}
+    if psuf != gsuf:
+        verdict = "MISMATCH"
+        for suf in sorted(psuf ^ gsuf):
+            files[suf] = {"match": False,
+                          "only_in": "plane" if suf in psuf else "gather"}
     for pf in plane_files:
+        if pf[len("plane_"):] not in gsuf:
+            continue
         gf = "gather_" + pf[len("plane_"):]
         with open(os.path.join(tmp, pf), "rb") as fa, \
                 open(os.path.join(tmp, gf), "rb") as fb:

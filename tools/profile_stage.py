@@ -64,7 +64,7 @@ def main():
     knobs = {}
     for flag, name in (("mxu", "mxu_reduce"), ("i16taps", "i16_taps"),
                        ("f32", "f32_warp"), ("rebase", "rebase"),
-                       ("mom", "plane_moments")):
+                       ("mom", "plane_moments"), ("fused", "fused_reduce")):
         if f"--{flag}" in sys.argv:
             knobs[name] = True
         elif f"--no-{flag}" in sys.argv:
@@ -109,14 +109,33 @@ def main():
         _, _, _, _, val = mvv(cp)
         basefn = jax.jit(lambda a, b, v: ap._rebase_bases(
             spec.r_ladder, a, b, v))
+        floor_s = timed(nullfn, jnp.int32(1))
         print(f"rebase_bases:{timed(basefn, dy, dx, val)*1e3:8.2f} ms")
         by0, bx0, dy_k, dx_k, _ = basefn(dy, dx, val)
+        rung_ms = {}
         for R in spec.r_ladder:
             kfn = jax.jit(lambda tl, a, b, c, d, by, bx, R=R:
                           ap._warp_kernel_only(spec, t, tl, a, b, c, d, R,
                                                base_y=by, base_x=bx))
             ms = timed(kfn, tiles, dy_k, dx_k, hc, vc, by0, bx0) * 1e3
+            rung_ms[R] = ms - floor_s * 1e3
             print(f"warp rb R={R}: {ms:8.2f} ms")
+        # Dispatch-cost-model guard: units() is an interpolation over
+        # MEASURED rung times; a kernel change that shifts the real rung
+        # costs silently skews rung selection (perf only — escapes stay
+        # exact), so flag any model point drifting >25% from this run.
+        meas = {r: v * 10 for r, v in rung_ms.items()}   # ms -> model units
+        drift = []
+        for r in spec.r_ladder:
+            want = ap.dispatch_units(r, spec.rebase_mode)
+            rel = abs(meas[r] - want) / max(want, 1e-9)
+            drift.append((r, want, meas[r], rel))
+        worst = max(d[3] for d in drift)
+        status = "OK" if worst <= 0.25 else "STALE — refit affine_plane.units()"
+        print(f"cost model vs measured ({spec.rebase_mode}): "
+              + ", ".join(f"R={r} model {w:.0f} meas {m:.0f}"
+                          for r, w, m, _ in drift)
+              + f" -> {status}")
     pred = jax.jit(lambda tl, a, b, c, d: ap._warp_kernel_only(
         spec, t, tl, a, b, c, d, 8))(tiles, dy, dx, hc, vc)
 
@@ -126,12 +145,12 @@ def main():
 
     redfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig_forms,
                                               dyn.within, True))
-    print(f"reduce_pred: {timed(redfn, pred.astype(jnp.int32))*1e3:8.2f} ms")
+    print(f"reduce_pred: {timed(redfn, pred)*1e3:8.2f} ms")
     satdfn = jax.jit(lambda p: ap._reduce_pred(spec, t, p, orig_forms,
                                                dyn.within, False))
-    print(f"  satd only: {timed(satdfn, pred.astype(jnp.int32))*1e3:8.2f} ms")
+    print(f"  satd only: {timed(satdfn, pred)*1e3:8.2f} ms")
 
-    _, M, rhs = redfn(pred.astype(jnp.int32))
+    _, M, rhs = redfn(pred)
     from vvc_affine_tpu.ops import solver as solver_ops
     solfn = jax.jit(lambda M, r: solver_ops.solve_affine(M, r, 2))
     print(f"solver:      {timed(solfn, M, rhs)*1e3:8.2f} ms")

@@ -33,6 +33,32 @@ def main():
         rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
     lam = jnp.float32(78.949063)
 
+    # Platform-floor anchors: first-exec cost of a TRIVIAL jitted program
+    # and of a small-but-real one, in this same fresh process.  Whatever a
+    # trivial program pays is the per-program platform floor (client/tunnel
+    # handshake + deferred device build) that no framework structure can
+    # remove; the shipped stages' first-run cost minus these floors is the
+    # framework's actual share.
+    import jax
+
+    for name, fn, args in (
+        ("trivial (x+1)", jax.jit(lambda x: x + 1), (jnp.int32(1),)),
+        ("small matmul", jax.jit(
+            lambda a: jnp.dot(a, a, precision="highest")),
+         (jnp.ones((256, 256), jnp.float32),)),
+    ):
+        t0 = time.time()
+        out = fn(*args)
+        t1 = time.time()
+        np.asarray(out).ravel()[:1]
+        t2 = time.time()
+        out = fn(*args)
+        np.asarray(out).ravel()[:1]
+        t3 = time.time()
+        print(f"floor {name}: dispatch {t1 - t0:7.2f}s  "
+              f"first_run {t2 - t1:7.2f}s  second_run {t3 - t2:6.3f}s",
+              flush=True)
+
     t_start = time.time()
     prev = {m: affine_plane.zero_cpmvs(affine_plane.PlaneSpec(m, 2, fw, fh))
             for m in ("full", "half")}

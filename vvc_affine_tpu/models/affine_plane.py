@@ -35,6 +35,7 @@ from jax import lax
 from vvc_affine_tpu import constants as C
 from vvc_affine_tpu import geometry as G
 from vvc_affine_tpu import planes as P
+from vvc_affine_tpu.ops import blockreduce as blockreduce_ops
 from vvc_affine_tpu.ops import blockstat as blockstat_ops
 from vvc_affine_tpu.ops import cost as cost_ops
 from vvc_affine_tpu.ops import mv as mv_ops
@@ -55,9 +56,15 @@ class PlaneSpec:
     extra_iters: int = 0
     R: int = 8         # fast-path displacement bound (ops/warp)
     # per-block exact fix-up slots; escapes beyond this fall back to the
-    # whole-frame exact gather (seconds — sized so realistic content
-    # never hits it, docs/ab_r04.md)
-    escape_budget: int = 4096
+    # whole-frame exact gather (seconds).  None (default) scales with the
+    # frame: max(4096, 30 * nCTUs) — a FIXED 4096 was measured to overflow
+    # on affine-true 4K content (510 CTUs, 34k escapes/frame-ref), sending
+    # two passes per frame to the multi-second fallback (BENCH r05 interim;
+    # the same failure class as round 4's group-table cap, docs/ab_r04.md
+    # section 3).  The fix-up cost is O(E) gathers only on evaluates that
+    # actually have escapes.  30/CTU keeps 1080p (135 CTUs) at exactly the
+    # validated 4096 while 4K gets 15,300.
+    escape_budget: Optional[int] = None
     use_pallas: Optional[bool] = None   # None -> auto (TPU only)
     interpret: bool = False             # pallas interpret mode (tests)
     # per-evaluate adaptive displacement bound: dispatch to a cheaper
@@ -86,6 +93,14 @@ class PlaneSpec:
     # sample-major path reuses the SATD pass's pred16 transpose for the
     # error term instead of re-transposing the plane.
     plane_moments: bool = False
+    # fused SATD/Sobel/moment reduction in ONE Mosaic pass
+    # (ops.blockreduce): the prediction planes never round-trip through
+    # the sample-major _blocks16 relayouts that the round-4 device profile
+    # put at 56% of an evaluate (docs/ab_r04.md).  Bit-exact (per-CU sums
+    # of identical integer quantities); active whenever the Pallas warp
+    # path is (pred planes arrive int16 from it).  The unfused XLA path
+    # remains the A/B and the exactness oracle.
+    fused_reduce: bool = True
     # float32 MAC fields inside the warp kernel: the VPU has no native
     # int32 multiply, so the select/filter fields run faster in f32.
     # Bit-exact (all intermediates are integers < 2^24; proof at
@@ -176,6 +191,7 @@ class PlaneTables(NamedTuple):
     bin_row_bot: np.ndarray
     bin_col_left: np.ndarray
     bin_col_right: np.ndarray
+    border_packed: np.ndarray          # int32 [n_bins, 128, 128] bit-packed
     slab_active: np.ndarray            # int32 [nCtus, n_bins, 16]
     strides: Tuple[int, ...]          # canonical per-class CU offsets
     cls: Tuple[P.ClassPlane, ...]
@@ -250,6 +266,9 @@ def build_tables(spec: PlaneSpec) -> PlaneTables:
         n_cus=lay.cus_per_ctu, n_cls=len(lay.classes),
         n_bins=n_bins, bins=bins, bin_of=bin_of,
         bin_row_top=brt, bin_row_bot=brb, bin_col_left=bcl, bin_col_right=bcr,
+        border_packed=(brt * blockreduce_ops.TOP + brb * blockreduce_ops.BOT
+                       + bcl * blockreduce_ops.LEFT
+                       + bcr * blockreduce_ops.RIGHT).astype(np.int32),
         slab_active=slab_active,
         strides=lay.return_strides, cls=cls,
         abs_x=abs_x.astype(np.int32), abs_y=abs_y.astype(np.int32),
@@ -486,6 +505,12 @@ def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     if admax is None:
         admax = jnp.maximum(jnp.abs(dy), jnp.abs(dx))
     esc = admax > rt
+    # _prefix128's f32 prefix sums (and the escape-index extraction built
+    # on them) are exact only while every partial sum < 2^24; ~4M flags at
+    # 4K leaves 4x headroom, but an 8K-scale frame would silently corrupt
+    # escape indices rather than fail, so guard the static bound here.
+    assert esc.size < 2 ** 24, (
+        f"escape-flag count {esc.size} exceeds the f32-exact prefix bound")
     n_esc = esc.sum()
     # Escaped blocks (|d| > rt; the kernel's masked selects miss and
     # leave garbage there) are recomputed exactly one-by-one and
@@ -494,6 +519,8 @@ def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     # scatter is harmless.  The reference pays its full 121-load cost
     # for EVERY sub-block (affine.cl:288-326); here only outliers do.
     E = spec.escape_budget
+    if E is None:
+        E = max(4096, 30 * t.n_ctus)
     n_groups = esc.any(axis=(-2, -1)).sum()          # telemetry only
     over = n_esc > E
 
@@ -554,6 +581,24 @@ def _escape_fixup(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
                           over.astype(jnp.int32),
                           jnp.zeros(MAX_LADDER, jnp.int32))
     return pred, telem
+
+
+def dispatch_units(r: int, rebase_mode) -> float:
+    """Adaptive-dispatch cost-model weight of the R=r warp kernel.
+
+    Fit to the round-4 hardware profile (docs/ab_r04.md; units = measured
+    whole-kernel ms x 10): R=1/2/4/8 measured 4.2/8.4/30.3/70.2 ms with
+    the plane-granular tile roll and 7.9/14.2/33.1/62.2 ms with the
+    slab-granular windows — the Ht field's lane-relayout cost grows faster
+    than its NS*NR MAC count, so the weight interpolates measured points
+    on the NS*NR axis.  tools/profile_stage.py re-measures the rungs every
+    round and flags this table when any point drifts >25% (a stale model
+    mis-picks rungs with no exactness impact, but silently).
+    """
+    x = (2 * r + 6) * (2 * r + 9)
+    if rebase_mode == "plane":
+        return float(np.interp(x, [88, 130, 238, 550], [42, 84, 303, 702]))
+    return float(np.interp(x, [88, 130, 238, 550], [79, 142, 331, 622]))
 
 
 def _rebase_bases(ladder: Tuple[int, ...], dy, dx, val,
@@ -618,11 +663,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     hc = _tap_planes(fx, tap_dtype)
     vc = _tap_planes(fy, tap_dtype)
 
-    use_pallas = spec.use_pallas
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-
-    if use_pallas:
+    if _use_pallas(spec):
         # Adaptive two-pass dispatch.  Pass 1 runs one kernel from the
         # R-ladder over every slab; pass 2 re-runs the WIDEST kernel on
         # only the slabs containing blocks the narrow kernel missed
@@ -671,20 +712,7 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
                 admax.shape[:2] + (16, 2, NB)).max(axis=(-2, -1))
 
             def units(r):
-                # per-slab weight of the R=r kernel, fit to the round-4
-                # hardware profile (docs/ab_r04.md): whole-kernel ms at
-                # R=1/2/4/8 were 4.2/8.4/30.3/70.2 (plane-granular roll)
-                # and ~7.9/14.2/33.1/62.2 (slab-granular windows, round-3
-                # measurement of the same window mechanism) — the Ht
-                # field's lane-relayout cost grows faster than its NS*NR
-                # MAC count, so the weight interpolates measured points
-                # on the NS*NR axis (r is static: ladder entries)
-                x = (2 * r + 6) * (2 * r + 9)
-                if rb == "plane":
-                    return float(np.interp(x, [88, 130, 238, 550],
-                                           [42, 84, 303, 702]))
-                return float(np.interp(x, [88, 130, 238, 550],
-                                       [79, 142, 331, 702]))
+                return dispatch_units(r, rb)
 
             n_slabs = act_static.sum()
             costs = []
@@ -727,13 +755,123 @@ def _evaluate(spec: PlaneSpec, t: PlaneTables, dyn: DynTables, ref_flat,
     return satd, M, rhs, telem
 
 
-def _orig_forms(spec: PlaneSpec, orig_pl):
-    """The per-CTU original planes in the form(s) the reduce path needs.
+def _use_pallas(spec: PlaneSpec) -> bool:
+    if spec.use_pallas is not None:
+        return spec.use_pallas
+    return jax.default_backend() == "tpu"
 
-    Returns (orig_pl, orig16); the sample-major blocks form is only
-    materialized for the legacy (non-MXU) reduction.
+
+def _fused_active(spec: PlaneSpec) -> bool:
+    """True when _reduce_pred runs the fused Mosaic reduction kernel.
+
+    Tied to the Pallas warp path (its int16 pred planes are the kernel's
+    input contract); the mxu_reduce / plane_moments knobs select the other
+    A/B reduction variants and take precedence.
     """
-    return orig_pl, (None if spec.mxu_reduce else _blocks16(orig_pl))
+    return (spec.fused_reduce and not spec.mxu_reduce
+            and not spec.plane_moments and _use_pallas(spec))
+
+
+class OrigForms(NamedTuple):
+    """The per-CTU original planes in the form(s) the reduce path needs."""
+
+    plane: jnp.ndarray                  # int32 [nCtu, 128, 128]
+    blocks16: Optional[jnp.ndarray]     # sample-major (unfused reduce only)
+    plane16: Optional[jnp.ndarray]      # int16 (fused reduce kernel input)
+
+
+def _orig_forms(spec: PlaneSpec, orig_pl) -> OrigForms:
+    fused = _fused_active(spec)
+    return OrigForms(
+        orig_pl,
+        None if (spec.mxu_reduce or fused) else _blocks16(orig_pl),
+        orig_pl.astype(jnp.int16) if fused else None)
+
+
+def _reduce_pred_fused(spec: PlaneSpec, t: PlaneTables, pred,
+                       orig: "OrigForms", within_j, refine: bool):
+    """_reduce_pred through the fused Mosaic kernel (ops.blockreduce).
+
+    Same contract and bit-identical per-CU outputs.  The kernel emits
+    lane-resolution per-block partials (SATD on lane 4b+3 of each block
+    with zeros elsewhere; moment column sums on every lane); strided lane
+    slices — hardware-measured as free, unlike the sample-major _blocks16
+    transposes they replace (tools/reduce_probe.py) — compact them to the
+    block-granular [NB, NB] form, after which the per-CU term assembly is
+    byte-for-byte the unfused path's (XLA fuses it into the strided CU
+    reductions at no measurable cost).
+    """
+    satd_l, moms_l = blockreduce_ops.reduce_pallas(
+        pred, orig.plane16, jnp.asarray(t.border_packed),
+        jnp.asarray(t.slab_active), refine=refine, interpret=spec.interpret)
+
+    satd_c = satd_l[..., 3::4]                  # [nCtu, nBins, NB, NB] i32
+    satd_cols = []
+    for ci, cp_tab in enumerate(t.cls):
+        bi = int(t.bin_of[ci])
+        satd_cu = P.reduce_slots_to_cu(
+            jnp, jnp.where(jnp.asarray(cp_tab.slot_valid),
+                           satd_c[:, bi].astype(jnp.int64),
+                           0), cp_tab)
+        satd_cols.append(satd_cu)
+    satd = jnp.concatenate(satd_cols, axis=1)
+    satd = jnp.where(within_j, satd, 0)
+    if not refine:
+        return satd, None, None
+
+    # per-block moment sums: 4-lane fold, int32-exact (|prod| < 2^25 per
+    # sample, 16-sample block sums < 2^29); i64 widening happens where the
+    # unfused path widens, so the term assembly below is identical to it
+    moms_c = (moms_l[..., 0::4] + moms_l[..., 1::4]
+              + moms_l[..., 2::4] + moms_l[..., 3::4])
+    moments = [moms_c[:, bi].astype(jnp.int64) for bi in range(t.n_bins)]
+    return satd, *_assemble_equations(spec, t, moments, within_j)
+
+
+def _assemble_equations(spec: PlaneSpec, t: PlaneTables, moments, within_j):
+    """Per-CU normal equations from per-bin block moments.
+
+    moments: per bin, int64 [nCtu, 5, NB, NB] block sums of (gx*gx, gx*gy,
+    gy*gy, gx*err, gy*err).  Shared tail of the fused and unfused reduce
+    paths (the equation model of ops/equations.py; affine.cl:680-694).
+    """
+    Pn = 2 * spec.n_cp
+    M_cols, rhs_cols = [], []
+    for ci, cp_tab in enumerate(t.cls):
+        m = moments[int(t.bin_of[ci])]
+        m20_64, m11_64, m02_64 = m[:, 0], m[:, 1], m[:, 2]
+        me1_64, me2_64 = m[:, 3], m[:, 4]
+        a, b = _factor_planes(cp_tab, spec.n_cp)
+        # all unique M terms (p <= q) and rhs terms stack on one axis so the
+        # slot->CU reduction is a SINGLE batched strided sum per class
+        terms, order = [], []
+        for p in range(Pn):
+            for q in range(p, Pn):
+                aa = jnp.asarray(a[p] * a[q])
+                ab = jnp.asarray(a[p] * b[q] + a[q] * b[p])
+                bb = jnp.asarray(b[p] * b[q])
+                terms.append(m20_64 * aa + m11_64 * ab + m02_64 * bb)
+                order.append((p, q))
+        for p in range(Pn):
+            terms.append(me1_64 * jnp.asarray(a[p])
+                         + me2_64 * jnp.asarray(b[p]))
+        red = P.reduce_slots_to_cu(
+            jnp, jnp.stack(terms, axis=1), cp_tab)       # [nCtu, T, num_cus]
+        cell = {}
+        for k, (p, q) in enumerate(order):
+            cell[(p, q)] = cell[(q, p)] = red[:, k]
+        M = jnp.stack(
+            [jnp.stack([cell[(p, q)] for q in range(Pn)], axis=-1)
+             for p in range(Pn)], axis=-2)
+        rhs = jnp.stack([red[:, len(order) + p] << 3 for p in range(Pn)],
+                        axis=-1)
+        M_cols.append(M)
+        rhs_cols.append(rhs)
+    M = jnp.concatenate(M_cols, axis=1)
+    rhs = jnp.concatenate(rhs_cols, axis=1)
+    M = jnp.where(within_j[..., None, None], M, 0)
+    rhs = jnp.where(within_j[..., None], rhs, 0)
+    return M, rhs
 
 
 def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig, within_j,
@@ -741,9 +879,11 @@ def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig, within_j,
     """SATD / gradient / normal-equation reductions from bin pred planes.
 
     pred may have a length-1 bin axis (broadcast), e.g. the zero-MV case.
-    ``orig`` is the (orig_pl, orig16) pair from ``_orig_forms``.
+    ``orig`` is the OrigForms triple from ``_orig_forms``.
     """
-    orig_pl, orig16 = orig
+    if _fused_active(spec):
+        return _reduce_pred_fused(spec, t, pred, orig, within_j, refine)
+    orig_pl, orig16 = orig.plane, orig.blocks16
     one_bin = pred.shape[1] == 1
     # ---- SATD per block, reduced per CU --------------------------------
     pred16 = None
@@ -768,7 +908,6 @@ def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig, within_j,
         return satd, None, None
 
     # ---- gradients + normal-equation moments (once per bin) ------------
-    Pn = 2 * spec.n_cp
     moments = []
     for bi in range(t.n_bins):
         plane = pred[:, 0 if one_bin else bi]
@@ -809,42 +948,7 @@ def _reduce_pred(spec: PlaneSpec, t: PlaneTables, pred, orig, within_j,
                  gx16 * err16, gy16 * err16], axis=1)  # [nCtu, 5, 16, NB*NB]
             moments.append(prods.sum(-2).reshape(
                 prods.shape[:2] + (NB, NB)).astype(jnp.int64))
-    M_cols, rhs_cols = [], []
-    for ci, cp_tab in enumerate(t.cls):
-        m = moments[int(t.bin_of[ci])]
-        m20_64, m11_64, m02_64 = m[:, 0], m[:, 1], m[:, 2]
-        me1_64, me2_64 = m[:, 3], m[:, 4]
-        a, b = _factor_planes(cp_tab, spec.n_cp)
-        # all unique M terms (p <= q) and rhs terms stack on one axis so the
-        # slot->CU reduction is a SINGLE batched strided sum per class
-        terms, order = [], []
-        for p in range(Pn):
-            for q in range(p, Pn):
-                aa = jnp.asarray(a[p] * a[q])
-                ab = jnp.asarray(a[p] * b[q] + a[q] * b[p])
-                bb = jnp.asarray(b[p] * b[q])
-                terms.append(m20_64 * aa + m11_64 * ab + m02_64 * bb)
-                order.append((p, q))
-        for p in range(Pn):
-            terms.append(me1_64 * jnp.asarray(a[p])
-                         + me2_64 * jnp.asarray(b[p]))
-        red = P.reduce_slots_to_cu(
-            jnp, jnp.stack(terms, axis=1), cp_tab)       # [nCtu, T, num_cus]
-        cell = {}
-        for k, (p, q) in enumerate(order):
-            cell[(p, q)] = cell[(q, p)] = red[:, k]
-        M = jnp.stack(
-            [jnp.stack([cell[(p, q)] for q in range(Pn)], axis=-1)
-             for p in range(Pn)], axis=-2)
-        rhs = jnp.stack([red[:, len(order) + p] << 3 for p in range(Pn)],
-                        axis=-1)
-        M_cols.append(M)
-        rhs_cols.append(rhs)
-    M = jnp.concatenate(M_cols, axis=1)
-    rhs = jnp.concatenate(rhs_cols, axis=1)
-    M = jnp.where(within_j[..., None, None], M, 0)
-    rhs = jnp.where(within_j[..., None], rhs, 0)
-    return satd, M, rhs
+    return satd, *_assemble_equations(spec, t, moments, within_j)
 
 
 def _evaluate_zero(spec: PlaneSpec, t: PlaneTables, ref_pl, orig,

@@ -196,7 +196,8 @@ class AffineMEPipeline:
             telem = out[2]
             timing.add_escapes(int(np.asarray(telem.n_escapes)),
                                int(np.asarray(telem.max_groups)),
-                               int(np.asarray(telem.n_fallbacks)))
+                               int(np.asarray(telem.n_fallbacks)),
+                               np.asarray(telem.rung_hist))
         return cost, cp
 
     def _run_pair(self, mode, base, poc, ref_idx, ref_dev, orig_dev, lam,
@@ -232,7 +233,8 @@ class AffineMEPipeline:
             for telem in out[4:6]:
                 timing.add_escapes(int(np.asarray(telem.n_escapes)),
                                    int(np.asarray(telem.max_groups)),
-                                   int(np.asarray(telem.n_fallbacks)))
+                                   int(np.asarray(telem.n_fallbacks)),
+                                   np.asarray(telem.rung_hist))
         return out[0], out[1], out[2], out[3]
 
     def _put_repl(self, x) -> jnp.ndarray:

@@ -23,6 +23,7 @@ Usage (one command per host):
 
 from __future__ import annotations
 
+import sys
 from typing import Optional, Sequence
 
 import numpy as np
@@ -53,7 +54,7 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
 _ALIGN_SEQ = [0]
 
 
-def _align(tag: str, timeout_s: int = 1800) -> None:
+def _align(tag: str, timeout_s: int = 600) -> None:
     """Coordination-service barrier (pure gRPC, no device collective).
 
     XLA:CPU's Gloo backend creates its communicator contexts lazily at the
@@ -67,16 +68,34 @@ def _align(tag: str, timeout_s: int = 1800) -> None:
     at ~0 skew.  Cost when already aligned: one gRPC round-trip (~ms).
     Call sequence is identical on every process by construction (the
     collectives themselves are), so the monotonically increasing barrier
-    ids match up.
+    ids match up.  If one process diverges anyway (e.g. it errored between
+    aligned collectives), the mismatched barrier names cannot rendezvous;
+    the bounded per-barrier timeout (default 10 min — wide enough for
+    cross-process compile skew, far below the 30-min shutdown backstop)
+    turns that from a silent hang into a prompt error naming the barrier.
     """
+    import time as _time
+
     from jax._src import distributed as _dist
 
     client = _dist.global_state.client
     if client is None:
         return
     _ALIGN_SEQ[0] += 1
-    client.wait_at_barrier(f"vvc-align-{tag}-{_ALIGN_SEQ[0]}",
-                           timeout_in_ms=timeout_s * 1000)
+    name = f"vvc-align-{tag}-{_ALIGN_SEQ[0]}"
+    t0 = _time.time()
+    try:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
+    except Exception as e:
+        raise RuntimeError(
+            f"alignment barrier {name!r} failed after "
+            f"{_time.time() - t0:.0f}s — a peer process likely diverged "
+            f"from the aligned call sequence (crashed or skipped a "
+            f"collective)") from e
+    waited = _time.time() - t0
+    if waited > 60:
+        print(f"[vvc.distributed] barrier {name} waited {waited:.0f}s "
+              f"(cross-process skew)", file=sys.stderr, flush=True)
 
 
 def align_processes(tag: str = "dispatch") -> None:

@@ -203,6 +203,7 @@ class Timing:
         self.escapes = 0
         self.max_groups = 0
         self.fallbacks = 0
+        self.rung_hist = [0] * 8          # adaptive-dispatch rung choices
         self.t0 = time.time()
 
     def stamp(self, msg: str) -> None:
@@ -219,11 +220,21 @@ class Timing:
         self.pair_ns[base_pred] += seconds * 1e9
 
     def add_escapes(self, n_escapes: int, max_groups: int,
-                    n_fallbacks: int) -> None:
-        """Escape-budget telemetry from the dense engine (per stage run)."""
+                    n_fallbacks: int, rung_hist=None) -> None:
+        """Escape-budget telemetry from the dense engine (per stage run).
+
+        ``rung_hist`` (optional, iterable of ints) accumulates the
+        adaptive-dispatch rung-choice histogram — the counter that exposed
+        the escape-table pathology on realistic content (docs/ab_r04.md
+        section 3), so production runs can see their dispatch distribution,
+        not just the bench JSON.
+        """
         self.escapes += n_escapes
         self.max_groups = max(self.max_groups, max_groups)
         self.fallbacks += n_fallbacks
+        if rung_hist is not None:
+            for i, v in enumerate(rung_hist):
+                self.rung_hist[i] += int(v)
 
     def report(self, n_frames: int) -> None:
         print("=-" * 23)
@@ -242,6 +253,7 @@ class Timing:
         print(f"ESCAPE_BLOCKS,{self.escapes}")
         print(f"ESCAPE_MAX_GROUPS,{self.max_groups}")
         print(f"WHOLE_FRAME_FALLBACKS,{self.fallbacks}")
+        print("RUNG_HIST," + ",".join(str(v) for v in self.rung_hist[:4]))
         print("=-" * 23)
 
 
