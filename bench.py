@@ -255,6 +255,12 @@ def main():
     out = child("inner", 7200)
     if os.environ.get("VVC_BENCH_WARM", "1") != "0":
         try:
+            # let the tunnel worker finish tearing down the inner child's
+            # session first: starting the warm child immediately after a
+            # heavy inner run was measured to inflate bench_warm_s ~3x
+            # (461.8 s vs 126.5 s for the identical child run minutes
+            # later, docs/ab_r05.md)
+            time.sleep(30)
             out.update(child("warm", 1800))
         except Exception as e:  # noqa: BLE001 — warm-start is best-effort
             sys.stderr.write(f"warm-start child failed: {e}\n")

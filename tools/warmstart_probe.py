@@ -60,24 +60,25 @@ def main():
               flush=True)
 
     t_start = time.time()
-    prev = {m: affine_plane.zero_cpmvs(affine_plane.PlaneSpec(m, 2, fw, fh))
-            for m in ("full", "half")}
+    # the SHIPPED executables: fused 2CP->3CP pair programs with telemetry
+    # (one per alignment mode — what the pipeline, bench, and its warm
+    # child actually build, so this measures their cache entries)
     for mode in ("full", "half"):
-        for n_cp in (2, 3):
-            spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh)
-            t0 = time.time()
-            stage = affine_plane.build_stage(spec)
-            out = stage(ref, orig, lam, prev[mode])
-            t1 = time.time()
-            np.asarray(out[0].sum())       # first-run barrier
-            t2 = time.time()
-            out = stage(ref, orig, lam, prev[mode])
-            np.asarray(out[0].sum())
-            t3 = time.time()
-            prev[mode] = out[1]
-            print(f"{mode}_{n_cp}cp: dispatch(trace+lower+compile) "
-                  f"{t1 - t0:7.2f}s  first_run {t2 - t1:7.2f}s  "
-                  f"second_run {t3 - t2:6.3f}s", flush=True)
+        s2 = affine_plane.PlaneSpec(mode, 2, fw, fh)
+        s3 = affine_plane.PlaneSpec(mode, 3, fw, fh)
+        prev = affine_plane.zero_cpmvs(s2)
+        t0 = time.time()
+        stage = affine_plane.build_pair_stage(s2, s3, telemetry=True)
+        out = stage(ref, orig, lam, prev)
+        t1 = time.time()
+        np.asarray(out[0].sum())       # first-run barrier
+        t2 = time.time()
+        out = stage(ref, orig, lam, prev)
+        np.asarray(out[0].sum())
+        t3 = time.time()
+        print(f"{mode}_pair: dispatch(trace+lower+compile) "
+              f"{t1 - t0:7.2f}s  first_run {t2 - t1:7.2f}s  "
+              f"second_run {t3 - t2:6.3f}s", flush=True)
     print(f"total process warm start: {time.time() - t_start:.2f}s")
 
 

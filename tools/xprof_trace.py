@@ -30,12 +30,13 @@ def main():
     from vvc_affine_tpu import geometry as G
     from vvc_affine_tpu.models import affine_plane
 
-    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    res = pos[0] if pos else "1920x1080"
-    fw, fh = (int(v) for v in res.split("x"))
     out_dir = "/tmp/vvc_xprof"
     if "--out" in sys.argv:
         out_dir = sys.argv[sys.argv.index("--out") + 1]
+    pos = [a for a in sys.argv[1:]
+           if not a.startswith("--") and a != out_dir]
+    res = pos[0] if pos else "1920x1080"
+    fw, fh = (int(v) for v in res.split("x"))
     os.makedirs(out_dir, exist_ok=True)
 
     # knob flags: --mxu / --no-mxu etc.; absent -> the shipped default
@@ -58,11 +59,16 @@ def main():
     orig = jnp.asarray(orig_np.astype(np.int32).ravel())
     lam = jnp.float32(78.949063)
 
-    stages = {}
-    for mode in ("full", "half"):
-        for n_cp in (2, 3):
-            spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh, **knobs)
-            stages[(mode, n_cp)] = affine_plane.build_stage(spec)
+    # the shipped dispatch shape: fused 2CP->3CP pair programs with
+    # telemetry, exactly as the pipeline and bench build them (shares
+    # their compile-cache entries)
+    stages = {
+        mode: affine_plane.build_pair_stage(
+            affine_plane.PlaneSpec(mode, 2, fw, fh, **knobs),
+            affine_plane.PlaneSpec(mode, 3, fw, fh, **knobs),
+            telemetry=True)
+        for mode in ("full", "half")
+    }
     zeros = {
         mode: affine_plane.zero_cpmvs(affine_plane.PlaneSpec(mode, 2, fw, fh))
         for mode in ("full", "half")
@@ -71,8 +77,7 @@ def main():
     def one_pass():
         outs = []
         for mode in ("full", "half"):
-            c2, p2 = stages[(mode, 2)](ref, orig, lam, zeros[mode])
-            c3, p3 = stages[(mode, 3)](ref, orig, lam, p2)
+            c2, _, c3, _, _, _ = stages[mode](ref, orig, lam, zeros[mode])
             outs.append((c2, c3))
         for c2, c3 in outs:
             np.asarray(c2)  # the only reliable barrier on the tunnel
@@ -88,8 +93,16 @@ def main():
     _summarize(out_dir)
 
 
-def _summarize(out_dir):
-    """Best-effort per-op table from the trace.json.gz event dump."""
+def _summarize(out_dir, top=32):
+    """Per-op device SELF-time table from the trace.json.gz event dump.
+
+    Device op events nest (while -> conditional -> branch fns -> ops), so
+    naive per-name duration sums double-count every container; this walks
+    each device lane as an interval stack and charges each span only its
+    self time (duration minus direct children) — the device-time
+    attribution the reference reads per kernel from
+    clGetEventProfilingInfo (main.cpp:862-866).
+    """
     paths = sorted(glob.glob(os.path.join(
         out_dir, "plugins/profile/*/*.trace.json.gz")))
     if not paths:
@@ -99,23 +112,35 @@ def _summarize(out_dir):
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device lanes: pick pids whose process name mentions TPU / device
     dev_pids = set()
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             nm = e.get("args", {}).get("name", "")
             if any(k in nm for k in ("TPU", "Device", "/device:")):
                 dev_pids.add(e.get("pid"))
-    tot = {}
+    lanes = {}
     for e in events:
-        if e.get("ph") == "X" and (not dev_pids or e.get("pid") in dev_pids):
-            nm = e.get("name", "?")
-            tot[nm] = tot.get(nm, 0.0) + float(e.get("dur", 0.0))
-    rows = sorted(tot.items(), key=lambda kv: -kv[1])[:25]
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            lanes.setdefault((e["pid"], e.get("tid")), []).append(e)
+    self_us = {}
+    for evs in lanes.values():
+        evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []
+        for e in evs:
+            ts, dur, nm = e["ts"], float(e["dur"]), e["name"]
+            while stack and ts >= stack[-1][0] + stack[-1][1]:
+                stack.pop()
+            if stack:
+                self_us[stack[-1][2]] = self_us.get(stack[-1][2], 0.0) - dur
+            self_us[nm] = self_us.get(nm, 0.0) + dur
+            stack.append((ts, dur, nm))
+    total = sum(v for v in self_us.values() if v > 0)
+    rows = sorted(self_us.items(), key=lambda kv: -kv[1])[:top]
+    print(f"total device self-time: {total / 1e3:.1f} ms")
     width = max((len(k) for k, _ in rows), default=4)
-    print(f"{'op':<{width}}  total_ms")
+    print(f"{'op (self time)':<{width}}  ms        share")
     for k, v in rows:
-        print(f"{k:<{width}}  {v / 1e3:9.3f}")
+        print(f"{k:<{width}}  {v / 1e3:9.3f}  {100 * v / total:5.1f}%")
 
 
 if __name__ == "__main__":
