@@ -224,10 +224,29 @@ def inner_main():
 
 def warm_main():
     """Fresh-process warm start: stages rebuild against the persistent
-    compile cache; prints the compile+first-run seconds."""
+    compile cache; prints the compile+first-run seconds.
+
+    The wall number is split at the first trivial device op: on the
+    tunnelled platform, client CONNECT can stall minutes-to-tens-of-minutes
+    when the worker is still unwinding preceding heavy processes
+    (measured up to ~22 min, docs/ab_r05.md), which says nothing about
+    the framework.  bench_warm_post_init_s is the framework's share
+    (cache load + first-exec build + one pass); bench_warm_s stays the
+    user-visible wall.
+    """
     t0 = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.int32(1)))
+    t_init = time.time() - t0
     times, compile_s, _ = run_workload(FW, FH, 0)
-    print(json.dumps({"bench_warm_s": round(time.time() - t0, 1)}))
+    total = time.time() - t0
+    print(json.dumps({
+        "bench_warm_s": round(total, 1),
+        "bench_warm_init_s": round(t_init, 1),
+        "bench_warm_post_init_s": round(total - t_init, 1),
+    }))
 
 
 def main():

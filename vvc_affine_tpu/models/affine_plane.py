@@ -97,10 +97,15 @@ class PlaneSpec:
     # (ops.blockreduce): the prediction planes never round-trip through
     # the sample-major _blocks16 relayouts that the round-4 device profile
     # put at 56% of an evaluate (docs/ab_r04.md).  Bit-exact (per-CU sums
-    # of identical integer quantities); active whenever the Pallas warp
-    # path is (pred planes arrive int16 from it).  The unfused XLA path
-    # remains the A/B and the exactness oracle.
-    fused_reduce: bool = True
+    # of identical integer quantities); runs on the Pallas warp path (pred
+    # planes arrive int16 from it).  The unfused XLA path remains the A/B
+    # and the exactness oracle.  None (default) = auto by frame size:
+    # the kernel scales linearly with CTU count but XLA's relayout path
+    # scales SUBlinearly (its fixed latencies amortize at larger shapes),
+    # so fused wins at 1080p (reduce 7.0 vs 13.0 ms, e2e 0.832 vs 0.889)
+    # and loses at 4K (35.1 vs 27.8 ms, e2e 2.80 vs 2.64) — both measured
+    # same-session, docs/ab_r05.md.  Crossover placed at 240 CTUs (~1440p).
+    fused_reduce: Optional[bool] = None
     # float32 MAC fields inside the warp kernel: the VPU has no native
     # int32 multiply, so the select/filter fields run faster in f32.
     # Bit-exact (all intermediates are integers < 2^24; proof at
@@ -766,9 +771,13 @@ def _fused_active(spec: PlaneSpec) -> bool:
 
     Tied to the Pallas warp path (its int16 pred planes are the kernel's
     input contract); the mxu_reduce / plane_moments knobs select the other
-    A/B reduction variants and take precedence.
+    A/B reduction variants and take precedence.  fused_reduce=None
+    resolves by frame size (see the PlaneSpec field).
     """
-    return (spec.fused_reduce and not spec.mxu_reduce
+    fused = spec.fused_reduce
+    if fused is None:
+        fused = G.frame_grid(spec.frame_w, spec.frame_h).num_ctus <= 240
+    return (fused and not spec.mxu_reduce
             and not spec.plane_moments and _use_pallas(spec))
 
 
