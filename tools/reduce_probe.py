@@ -32,7 +32,7 @@ def main():
     ref = jnp.asarray(rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
     orig = jnp.asarray(rng.integers(0, 1024, size=(fh * fw,)).astype(np.int32))
 
-    spec = ap.PlaneSpec("full", 2, fw, fh)
+    spec = ap.PlaneSpec("full", 2, fw, fh, fused_reduce=True)
     spec_u = ap.PlaneSpec("full", 2, fw, fh, fused_reduce=False)
     t = ap.build_tables(spec)
     dyn = ap.dyn_tables(t)

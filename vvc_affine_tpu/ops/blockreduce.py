@@ -188,6 +188,14 @@ def _make_kernel(refine: bool, mxu_satd: bool = False):
                     vscr[r + 2:r + 3, :] = m0 - m1
                     vscr[r + 3:r + 4, :] = m3 - m2
                     if refine:
+                        # row sums only — the within-block 4-lane fold
+                        # stays OUTSIDE in XLA (4 strided slices + adds):
+                        # folding here with two lane rotates per moment
+                        # row was measured SLOWER (kernel 23.9 -> 40.8 ms
+                        # at 4K: ~50 extra small ops x 8160 grid steps of
+                        # per-op overhead vs 6.3 ms for XLA's fold of the
+                        # same data; 1080p neutral) — tools/reduce_probe
+                        # A/B, docs/ab_r05.md
                         for m in range(5):
                             q = prods[m]
                             s = (q[r:r + 1, :] + q[r + 1:r + 2, :]
