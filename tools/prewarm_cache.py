@@ -51,33 +51,61 @@ def main():
         print(f"prewarm {tag}: {time.time() - t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(0)
+    lam = jnp.float32(78.949063)
+    mesh = pmesh.make_mesh(jax.devices()[:8])
 
-    # the suite's heavy shapes: (mode, ncp, W, H, sharded?)
-    shapes = [
-        ("full", 2, 384, 256, False), ("full", 3, 384, 256, False),
-        ("half", 2, 384, 256, False), ("half", 3, 384, 256, False),
-        ("full", 2, 384, 320, True), ("full", 3, 384, 320, True),
-        ("half", 2, 384, 320, True), ("half", 3, 384, 320, True),
-        ("full", 2, 512, 512, True), ("full", 3, 512, 512, True),
-        ("half", 2, 512, 512, True), ("half", 3, 512, 512, True),
-    ]
-    for mode, n_cp, fw, fh, sharded in shapes:
-        spec = affine_plane.PlaneSpec(mode, n_cp, fw, fh)
-        ref = jnp.asarray(
-            rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
-        orig = jnp.asarray(
-            rng.integers(0, 1024, (fh * fw,)).astype(np.int32))
-        lam = jnp.float32(78.949063)
-        prev = affine_plane.zero_cpmvs(spec)
-        if sharded:
-            mesh = pmesh.make_mesh()
-            fn = pmesh.build_plane_stage_sharded(spec, mesh)
-        else:
-            fn = affine_plane.build_stage(spec)
-        run(f"{mode}_{n_cp}cp_{fw}x{fh}{'_sharded' if sharded else ''}",
-            fn, ref, orig, lam, prev)
+    def frames(fw, fh):
+        return (jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(
+            np.int32)),
+            jnp.asarray(rng.integers(0, 1024, (fh * fw,)).astype(np.int32)))
 
-    print(f"prewarmed {len(done)} programs in {time.time() - t_start:.1f}s")
+    # mirror tests/_child.py exactly: 'full' exercises the fused-pair
+    # sharded builder, 'half' the per-stage one; both also build the
+    # single-device stages they are compared against
+    for fw, fh in ((384, 320), (512, 512)):
+        ref, orig = frames(fw, fh)
+        for mode in ("full", "half"):
+            s2 = affine_plane.PlaneSpec(mode, 2, fw, fh)
+            s3 = affine_plane.PlaneSpec(mode, 3, fw, fh)
+            z = affine_plane.zero_cpmvs(s2)
+            if mode == "full":
+                run(f"full_pair_{fw}x{fh}_sharded",
+                    pmesh.build_plane_pair_sharded(s2, s3, mesh),
+                    ref, orig, lam, z)
+            else:
+                out2 = None
+
+                def chain(ref, orig, lam, z, s2=s2, s3=s3):
+                    c2, p2 = pmesh.build_plane_stage_sharded(s2, mesh)(
+                        ref, orig, lam, z)
+                    return pmesh.build_plane_stage_sharded(s3, mesh)(
+                        ref, orig, lam, p2)
+
+                run(f"half_stages_{fw}x{fh}_sharded", chain,
+                    ref, orig, lam, z)
+
+            def singles(ref, orig, lam, z, s2=s2, s3=s3):
+                c2, p2 = affine_plane.build_stage(s2)(ref, orig, lam, z)
+                return affine_plane.build_stage(s3)(ref, orig, lam, p2)
+
+            run(f"{mode}_singles_{fw}x{fh}", singles, ref, orig, lam, z)
+
+    # the engine-parity suite's small-frame stages
+    for fw, fh in ((384, 256),):
+        ref, orig = frames(fw, fh)
+        for mode in ("full", "half"):
+            s2 = affine_plane.PlaneSpec(mode, 2, fw, fh)
+            s3 = affine_plane.PlaneSpec(mode, 3, fw, fh)
+            z = affine_plane.zero_cpmvs(s2)
+
+            def singles(ref, orig, lam, z, s2=s2, s3=s3):
+                c2, p2 = affine_plane.build_stage(s2)(ref, orig, lam, z)
+                return affine_plane.build_stage(s3)(ref, orig, lam, p2)
+
+            run(f"{mode}_singles_{fw}x{fh}", singles, ref, orig, lam, z)
+
+    print(f"prewarmed {len(done)} program groups in "
+          f"{time.time() - t_start:.1f}s")
 
 
 if __name__ == "__main__":
