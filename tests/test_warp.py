@@ -357,3 +357,24 @@ def test_warp_pallas_f32(R):
     got = np.asarray(warp_ops.warp_pallas(*args, R=R, interpret=True,
                                           f32=True))
     assert np.array_equal(want, got)
+
+
+def test_escape_budget_scales_with_frame():
+    """The default budget must scale with CTU count: a FIXED 4096 overflowed
+    on affine-true 4K content (34k escapes/frame-ref) and sent whole passes
+    to the multi-second exact fallback (docs/ab_r05.md section 3)."""
+    from vvc_affine_tpu.models import affine_plane as ap
+
+    for fw, fh in ((1920, 1080), (3840, 2160), (7680, 4320)):
+        spec = ap.PlaneSpec("full", 2, fw, fh)
+        n_ctus = G.frame_grid(fw, fh).num_ctus
+        want = max(4096, 30 * n_ctus)
+        t = ap.build_tables(spec)
+        # resolve exactly as _escape_fixup does
+        E = spec.escape_budget
+        if E is None:
+            E = max(4096, 30 * t.n_ctus)
+        assert E == want
+    # 1080p keeps the validated 4096; 4K gets 15300
+    assert max(4096, 30 * G.frame_grid(1920, 1080).num_ctus) == 4096
+    assert max(4096, 30 * G.frame_grid(3840, 2160).num_ctus) == 15300
