@@ -67,3 +67,28 @@ def test_reduce_pred_fused_one_bin_broadcast():
                            within, True)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_mxu_satd_variant_matches_rolls():
+    """The MXU-dot horizontal Hadamard (mxu_satd, off by default for its
+    deferred-build cost, docs/ab_r05.md) must stay bit-identical to the
+    shipped lane-rotate form."""
+    import jax.numpy as jnp
+
+    from vvc_affine_tpu.ops import blockreduce as br
+
+    spec = ap.PlaneSpec("full", 2, FW, FH, use_pallas=True, interpret=True)
+    t = ap.build_tables(spec)
+    pred, orig_pl = _random_inputs(t, t.n_bins, seed=7)
+    orig16 = orig_pl.astype(jnp.int16)
+    masks = jnp.asarray(t.border_packed)
+    act = jnp.asarray(t.slab_active)
+    a = br.reduce_pallas(pred, orig16, masks, act, True, interpret=True,
+                         mxu_satd=False)
+    b = br.reduce_pallas(pred, orig16, masks, act, True, interpret=True,
+                         mxu_satd=True)
+    # compare only defined outputs (active slabs' block rows), via the
+    # same strided compaction the engine uses
+    rowmask = jnp.asarray(t.slab_active).repeat(2, -1)[..., None]
+    np.testing.assert_array_equal(np.asarray(a[0][..., 3::4] * rowmask),
+                                  np.asarray(b[0][..., 3::4] * rowmask))
