@@ -147,6 +147,20 @@ def bench_knobs():
 def inner_main():
     """The measured run (owns the TPU for its lifetime)."""
     import jax
+    import jax.numpy as jnp
+
+    # the tunnel's device->host fetch floor: every timed pass pays it on
+    # its result fetches (the only reliable barrier on this platform), so
+    # record it — it is measurement overhead a directly-attached TPU
+    # would not see (~3% of a 1080p frame-ref here)
+    nullfn = jax.jit(lambda x: x + 1)
+    np.asarray(nullfn(jnp.int32(0)))
+    floors = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(nullfn(jnp.int32(1)))
+        floors.append(time.time() - t0)
+    fetch_floor_ms = round(min(floors) * 1e3, 1)
 
     times, compile_s, cus, telem_syn = run_workload(
         FW, FH, N_ITERS, with_telemetry=True)
@@ -175,6 +189,7 @@ def inner_main():
         "bench_iters": len(times),
         "frame_refs_per_sec": round(1.0 / dt, 3),
         "compile_plus_first_run_s": round(compile_s, 1),
+        "tunnel_fetch_floor_ms": fetch_floor_ms,
         "device": str(jax.devices()[0]),
         "escapes": telem_syn["escapes"],
         "fallbacks": telem_syn["fallbacks"],
