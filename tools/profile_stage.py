@@ -1,12 +1,15 @@
 """Per-piece TPU timing of the dense engine's evaluate pipeline.
 
 Times, via on-device scalar-reduction fetches (the only reliable barrier on
-the tunnelled platform), the individual pieces of one FULL_2CP evaluate at
+the tunnelled platform), the individual pieces of one 2CP evaluate at
 1080p: MV/tap plane construction, the warp kernel at each dispatch rung,
 the escape fix-up, the SATD/gradient/moment reductions, and the solver —
 plus the full stage for reference.  Run on the TPU:
 
-    python tools/profile_stage.py [WxH]
+    python tools/profile_stage.py [WxH] [--half]
+
+--half profiles the HALF (half-aligned CU) mode instead of FULL
+(per-mode numbers recorded in docs/ab_r05.md section 5).
 """
 
 import os
@@ -69,7 +72,8 @@ def main():
             knobs[name] = True
         elif f"--no-{flag}" in sys.argv:
             knobs[name] = False
-    spec = ap.PlaneSpec("full", 2, fw, fh, **knobs)
+    mode = "half" if "--half" in sys.argv else "full"
+    spec = ap.PlaneSpec(mode, 2, fw, fh, **knobs)
     i16 = spec.i16_taps
     t = ap.build_tables(spec)
     dyn = ap.dyn_tables(t)
